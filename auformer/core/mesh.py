@@ -1,0 +1,72 @@
+"""Device-mesh runtime.
+
+The reference is single-GPU with no collectives (SURVEY.md §2.2). The
+TPU-native design scales by data parallelism over a named `jax.sharding.Mesh`
+('data' axis rides ICI within a slice), with parameters replicated and the
+batch dim sharded. The train step is written as a *global* program under
+``jax.jit`` + GSPMD: BatchNorm batch statistics, loss means, and gradient
+all-reduces become XLA collectives automatically because every reduction over
+the batch axis is a global reduction — no NCCL-style code is translated.
+
+A 'model' axis can be declared in ``mesh_shape`` for future tensor
+parallelism; nothing at this model scale (~11–35M params) shards over it yet.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def parse_mesh_shape(spec: str, n_devices: int) -> dict[str, int]:
+    """Parse "data:-1" or "data:4,model:2" into axis sizes; -1 = fill."""
+    axes: dict[str, int] = {}
+    fill_axis = None
+    for part in spec.split(","):
+        name, _, size = part.partition(":")
+        size = int(size) if size else -1
+        if size == -1:
+            if fill_axis is not None:
+                raise ValueError(f"multiple -1 axes in mesh spec {spec!r}")
+            fill_axis = name.strip()
+            axes[fill_axis] = -1
+        else:
+            axes[name.strip()] = size
+    fixed = int(np.prod([s for s in axes.values() if s != -1])) if axes else 1
+    if fill_axis is not None:
+        if n_devices % max(fixed, 1) != 0:
+            raise ValueError(f"{n_devices} devices not divisible by {fixed}")
+        axes[fill_axis] = n_devices // max(fixed, 1)
+    return axes
+
+
+def make_mesh(spec: str = "data:-1", devices=None) -> Mesh:
+    devices = list(jax.devices()) if devices is None else list(devices)
+    axes = parse_mesh_shape(spec, len(devices))
+    names = tuple(axes.keys())
+    sizes = tuple(axes.values())
+    dev_array = np.asarray(devices).reshape(sizes)
+    return Mesh(dev_array, axis_names=names)
+
+
+def data_sharding(mesh: Mesh, ndim: int = 1, axis: str = "data") -> NamedSharding:
+    """Shard leading (batch) dim over the data axis, replicate the rest."""
+    spec = (axis,) + (None,) * (ndim - 1)
+    return NamedSharding(mesh, P(*spec))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a host batch (pytree of np arrays) onto the mesh, batch-sharded."""
+    def put(x):
+        sh = data_sharding(mesh, np.ndim(x)) if np.ndim(x) >= 1 else replicated_sharding(mesh)
+        return jax.device_put(x, sh)
+    return jax.tree_util.tree_map(put, batch)
+
+
+def pad_to_multiple(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m

@@ -1,0 +1,186 @@
+"""Log-mel spectrogram audio frontend (TPU, jittable).
+
+Reproduces the reference audio feature pipeline — torchaudio 0.6
+``MelSpectrogram(44100, n_mels=64, n_fft=1024, win_length=882, hop_length=441,
+hann)`` + ``AmplitudeToDB('power', 80)`` + ``Normalize(-14.8, 19.895)``
+(reference aff2compdataset.py:47-68, clip_transforms.py:96-108) — as a single
+fused XLA computation:
+
+    reflect-center pad -> frame gather -> windowed rfft -> |.|^2
+    -> HTK mel filterbank matmul (MXU) -> power-to-dB with per-sample
+    80 dB floor -> affine normalize
+
+Semantics replicated exactly (for full-length windows):
+  * hann window is *periodic* (torch.hann_window default) and zero-padded to
+    n_fft centered (left pad (n_fft - win)//2), as torch.stft does
+  * STFT is center-padded by n_fft//2 with reflect mode, onesided,
+    not normalized, power 2.0
+  * mel scale is HTK (2595 log10(1+f/700)), f_min 0, f_max sr//2,
+    triangular filters, no norm (torchaudio create_fb_matrix defaults)
+  * dB conversion: 10*log10(clamp(x, 1e-10)), then floored at
+    (per-sample max - 80) — the reference applies AmplitudeToDB per sample,
+    so the batched kernel reduces the max over each sample independently
+
+The reference computes the mel on the *true-length* audio and left-pads the
+feature map to 1001 frames (aff2compdataset.py:234-238). For windows shorter
+than 10 s this kernel instead consumes a left-zero-padded fixed 441000-sample
+buffer; the handful of frames at the zero/signal junction differ from the
+reference (zeros instead of reflect padding). ``auformer.ops.audio_host``
+provides the variable-length exact path used by the strict-parity dataset.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+SAMPLE_RATE = 44100
+N_FFT = 1024
+WIN_LENGTH = 882
+HOP_LENGTH = 441
+N_MELS = 64
+TOP_DB = 80.0
+AMIN = 1e-10
+SPEC_MEAN = -14.8
+SPEC_STD = 19.895
+
+
+def hann_window_periodic(win_length: int) -> np.ndarray:
+    """torch.hann_window(periodic=True): 0.5*(1 - cos(2 pi n / N))."""
+    n = np.arange(win_length, dtype=np.float64)
+    return (0.5 * (1.0 - np.cos(2.0 * np.pi * n / win_length))).astype(np.float32)
+
+
+def padded_window(win_length: int = WIN_LENGTH, n_fft: int = N_FFT) -> np.ndarray:
+    """Window zero-padded to n_fft, centered (torch.stft behavior)."""
+    w = hann_window_periodic(win_length)
+    left = (n_fft - win_length) // 2
+    out = np.zeros(n_fft, dtype=np.float32)
+    out[left:left + win_length] = w
+    return out
+
+
+def _hz_to_mel_htk(f):
+    return 2595.0 * np.log10(1.0 + np.asarray(f, dtype=np.float64) / 700.0)
+
+
+def _mel_to_hz_htk(m):
+    return 700.0 * (10.0 ** (np.asarray(m, dtype=np.float64) / 2595.0) - 1.0)
+
+
+@functools.lru_cache(maxsize=8)
+def mel_filterbank(n_freqs: int = N_FFT // 2 + 1,
+                   f_min: float = 0.0,
+                   f_max: float | None = None,
+                   n_mels: int = N_MELS,
+                   sample_rate: int = SAMPLE_RATE) -> np.ndarray:
+    """HTK triangular filterbank, shape (n_freqs, n_mels), norm=None.
+
+    Matches torchaudio 0.6 ``create_fb_matrix``: FFT bin centers are
+    linspace(0, sr//2, n_freqs); mel break points are linspace in HTK mel
+    space with n_mels+2 points.
+    """
+    if f_max is None:
+        f_max = float(sample_rate // 2)
+    all_freqs = np.linspace(0.0, sample_rate // 2, n_freqs)
+    m_min = _hz_to_mel_htk(f_min)
+    m_max = _hz_to_mel_htk(f_max)
+    m_pts = np.linspace(m_min, m_max, n_mels + 2)
+    f_pts = _mel_to_hz_htk(m_pts)
+    f_diff = f_pts[1:] - f_pts[:-1]                            # (n_mels+1,)
+    slopes = f_pts[None, :] - all_freqs[:, None]               # (n_freqs, n_mels+2)
+    down = -slopes[:, :-2] / f_diff[:-1]
+    up = slopes[:, 2:] / f_diff[1:]
+    fb = np.maximum(0.0, np.minimum(down, up))
+    return fb.astype(np.float32)
+
+
+def num_frames(n_samples: int, hop_length: int = HOP_LENGTH) -> int:
+    """Frame count of a center-padded STFT: 1 + n // hop."""
+    return 1 + n_samples // hop_length
+
+
+def power_spectrogram(audio: jax.Array,
+                      n_fft: int = N_FFT,
+                      hop_length: int = HOP_LENGTH,
+                      win_length: int = WIN_LENGTH) -> jax.Array:
+    """(..., L) float32 -> (..., T, n_fft//2+1) power spectrogram."""
+    window = jnp.asarray(padded_window(win_length, n_fft))
+    pad = n_fft // 2
+    x = jnp.pad(audio, [(0, 0)] * (audio.ndim - 1) + [(pad, pad)], mode="reflect")
+    n = audio.shape[-1]
+    t = num_frames(n, hop_length)
+    # frame gather: (T, n_fft) index matrix; XLA lowers this to an efficient
+    # strided gather and fuses the window multiply
+    idx = (np.arange(t)[:, None] * hop_length + np.arange(n_fft)[None, :])
+    frames = x[..., idx] * window                   # (..., T, n_fft)
+    spec = jnp.fft.rfft(frames.astype(jnp.float32), axis=-1)
+    return (spec.real ** 2 + spec.imag ** 2).astype(jnp.float32)
+
+
+def mel_spectrogram(audio: jax.Array,
+                    n_mels: int = N_MELS,
+                    sample_rate: int = SAMPLE_RATE,
+                    n_fft: int = N_FFT,
+                    hop_length: int = HOP_LENGTH,
+                    win_length: int = WIN_LENGTH) -> jax.Array:
+    """(..., L) -> (..., n_mels, T) mel power spectrogram (torchaudio layout)."""
+    spec = power_spectrogram(audio, n_fft, hop_length, win_length)  # (..., T, F)
+    fb = jnp.asarray(mel_filterbank(n_fft // 2 + 1, 0.0, None, n_mels, sample_rate))
+    mel = jnp.einsum("...tf,fm->...mt", spec, fb,
+                     preferred_element_type=jnp.float32)
+    return mel
+
+
+def amplitude_to_db(x: jax.Array,
+                    top_db: float = TOP_DB,
+                    amin: float = AMIN,
+                    sample_axes: tuple[int, ...] = (-2, -1)) -> jax.Array:
+    """Power -> dB with per-sample floor at (max - top_db).
+
+    torchaudio 0.6 AmplitudeToDB('power', 80): ref_value=1.0 so the
+    db_multiplier term vanishes; the top_db clamp is relative to the max of
+    the whole (per-sample) tensor.
+    """
+    db = 10.0 * jnp.log10(jnp.maximum(x, amin))
+    mx = jnp.max(db, axis=sample_axes, keepdims=True)
+    return jnp.maximum(db, mx - top_db)
+
+
+def normalize_spec(x: jax.Array,
+                   mean: float = SPEC_MEAN,
+                   std: float = SPEC_STD) -> jax.Array:
+    return (x - mean) / std
+
+
+@functools.partial(jax.jit, static_argnames=("n_mels", "out_frames"))
+def audio_frontend(audio: jax.Array,
+                   feature_len: jax.Array | None = None,
+                   n_mels: int = N_MELS,
+                   out_frames: int = 1001) -> jax.Array:
+    """Full fused frontend: (B, L) raw audio -> (B, 1, n_mels, out_frames).
+
+    ``feature_len`` (B,) int32 — number of *valid* mel frames per sample
+    (1 + true_samples//hop). Frames are right-aligned into ``out_frames``
+    and dead columns zeroed before the dB step so short windows reproduce the
+    reference's left-pad-then-AmpToDB behavior: padded columns sit at the
+    -80 dB-from-max floor, i.e. exactly what AmpToDB does to zeros
+    (aff2compdataset.py:234-241).
+    """
+    mel = mel_spectrogram(audio, n_mels=n_mels)             # (B, n_mels, T)
+    t = mel.shape[-1]
+    if t > out_frames:
+        mel = mel[..., -out_frames:]
+        t = out_frames
+    if t < out_frames:
+        mel = jnp.pad(mel, ((0, 0), (0, 0), (out_frames - t, 0)))
+    if feature_len is not None:
+        cols = jnp.arange(out_frames)[None, None, :]
+        valid = cols >= (out_frames - feature_len[:, None, None])
+        mel = jnp.where(valid, mel, 0.0)
+    db = amplitude_to_db(mel)
+    out = normalize_spec(db)
+    return out[:, None, :, :]

@@ -1,0 +1,108 @@
+"""Golden tests for the mel-spectrogram frontend.
+
+The golden is built from torch.stft (torch CPU is available; torchaudio is
+not) plus the documented torchaudio-0.6 formulas for the mel filterbank and
+AmplitudeToDB — an implementation independent from both auformer paths.
+"""
+import numpy as np
+import pytest
+import torch
+
+from auformer.ops import audio as A
+from auformer.ops import audio_host as AH
+
+
+def torch_golden_power_spec(x: np.ndarray) -> np.ndarray:
+    """torch.stft with the exact reference MelSpectrogram arguments."""
+    xt = torch.from_numpy(x)
+    win = torch.hann_window(A.WIN_LENGTH, periodic=True)
+    spec = torch.stft(xt, n_fft=A.N_FFT, hop_length=A.HOP_LENGTH,
+                      win_length=A.WIN_LENGTH, window=win, center=True,
+                      pad_mode="reflect", normalized=False, onesided=True,
+                      return_complex=True)
+    return (spec.real ** 2 + spec.imag ** 2).numpy()  # (F, T)
+
+
+@pytest.fixture(scope="module")
+def wave():
+    rs = np.random.RandomState(42)
+    t = np.arange(44100, dtype=np.float32) / 44100.0
+    x = (0.5 * np.sin(2 * np.pi * 440 * t)
+         + 0.2 * np.sin(2 * np.pi * 3000 * t)
+         + 0.05 * rs.randn(44100)).astype(np.float32)
+    return x
+
+
+def test_window_matches_torch():
+    ours = A.hann_window_periodic(A.WIN_LENGTH)
+    ref = torch.hann_window(A.WIN_LENGTH, periodic=True).numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+def test_host_power_spec_vs_torch(wave):
+    golden = torch_golden_power_spec(wave)                      # (F, T)
+    ours = AH.stft_power(wave[None])[0]                         # (F, T)
+    assert ours.shape == golden.shape
+    np.testing.assert_allclose(ours, golden, rtol=1e-4, atol=1e-6)
+
+
+def test_device_power_spec_vs_host(wave):
+    host = AH.stft_power(wave[None])[0]                         # (F, T)
+    dev = np.asarray(A.power_spectrogram(wave[None]))[0].T      # (T,F)->(F,T)
+    np.testing.assert_allclose(dev, host, rtol=2e-4, atol=1e-4)
+
+
+def test_mel_fb_properties():
+    fb = A.mel_filterbank()
+    assert fb.shape == (513, 64)
+    assert fb.min() >= 0.0
+    # triangles: every filter has positive mass and a single peak
+    assert (fb.sum(axis=0) > 0).all()
+    # HTK break points: first filter starts at 0 Hz bin
+    assert fb[0, :].max() == 0.0  # DC bin has zero weight (f_min=0 triangle)
+
+
+def test_amplitude_to_db_floor():
+    x = np.zeros((1, 64, 10), np.float32)
+    x[0, 0, 0] = 1.0  # 0 dB peak
+    db = np.asarray(A.amplitude_to_db(x))
+    assert db.max() == pytest.approx(0.0)
+    assert db.min() == pytest.approx(-80.0)  # floored, not -100
+
+
+def test_full_frontend_matches_host_reference(wave):
+    """Device kernel == exact host reference for a full 10 s window."""
+    full = np.tile(wave, 10).astype(np.float32)[None]           # (1, 441000)
+    feats_host, _ = AH.reference_audio_features(full)           # (1, 64, 1001)
+    feats_dev = np.asarray(A.audio_frontend(full))              # (1,1,64,1001)
+    assert feats_dev.shape == (1, 1, 64, 1001)
+    np.testing.assert_allclose(feats_dev[0], feats_host, rtol=1e-3, atol=2e-3)
+
+
+def test_short_window_feature_padding():
+    """Short windows: features right-aligned, pad at the -80dB floor after
+    normalize (reference left-pads the feature map before AmpToDB)."""
+    rs = np.random.RandomState(0)
+    short = rs.randn(1, 44100).astype(np.float32) * 0.1
+    feats, padded_audio = AH.reference_audio_features(short)
+    assert feats.shape == (1, 64, 1001)
+    assert padded_audio.shape == (1, 441000)
+    # left-pad of raw audio is zeros
+    assert np.all(padded_audio[:, :441000 - 44100] == 0)
+    t_valid = 1 + 44100 // A.HOP_LENGTH
+    pad_cols = feats[0, :, :1001 - t_valid]
+    # padded columns all sit at the same floor value
+    assert np.allclose(pad_cols, pad_cols[0, 0])
+
+
+def test_wav_roundtrip(tmp_path):
+    rs = np.random.RandomState(1)
+    x = (rs.rand(1, 22050).astype(np.float32) - 0.5)
+    p = str(tmp_path / "t.wav")
+    AH.write_wav(p, x)
+    y, sr = AH.load_wav(p)
+    assert sr == 44100 and y.shape == x.shape
+    np.testing.assert_allclose(y, x, atol=1.0 / 32768 + 1e-6)
+    # offset/num_samples window
+    y2, _ = AH.load_wav(p, offset=1000, num_samples=500)
+    np.testing.assert_allclose(y2, y[:, 1000:1500], atol=1e-7)
