@@ -5,11 +5,18 @@ simulated with xla_force_host_platform_device_count=8).
 """
 import os
 
+# Env var alone is not enough: the axon TPU PJRT plugin in this image ignores
+# JAX_PLATFORMS, so also force the platform through jax.config before any
+# computation runs.
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

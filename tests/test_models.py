@@ -1,0 +1,100 @@
+"""Model-zoo forward tests: shapes, dtypes, determinism, gradient flow."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from auformer.core.config import Config
+from auformer.nn import build_model, example_batch, init_model, loss_suite
+
+
+def tiny_cfg(model_name, modality="V", task="AU", **kw):
+    return Config(model_name=model_name, modality=modality, task=task,
+                  n_frames=4, image_size=64, batch_size=2,
+                  compute_dtype="float32", use_pallas=False, **kw)
+
+
+def run_forward(cfg, train=False):
+    model, variables = init_model(cfg)
+    x = example_batch(cfg, batch_size=2)
+    if train:
+        out, mut = model.apply(variables, x, train=True,
+                               rngs={"dropout": jax.random.PRNGKey(0)},
+                               mutable=["batch_stats"])
+    else:
+        out = model.apply(variables, x, train=False)
+    return model, variables, np.asarray(out)
+
+
+@pytest.mark.parametrize("name,modality", [
+    ("vformer", "V"),
+    ("avformer", "A;V"),
+    ("audio", "A"),
+])
+def test_forward_shapes(name, modality):
+    cfg = tiny_cfg(name, modality)
+    _, _, out = run_forward(cfg)
+    assert out.shape == (2, 21)
+    assert np.isfinite(out).all()
+
+
+def test_avformer_au_task_layout():
+    """AU task fills only the AU slice (avformer.py:102-106)."""
+    cfg = tiny_cfg("avformer", "A;V")
+    _, _, out = run_forward(cfg)
+    assert not np.allclose(out[:, :12], 0)
+    assert np.allclose(out[:, 12:], 0)
+
+
+def test_vformer_train_mode_updates_batch_stats():
+    cfg = tiny_cfg("vformer")
+    model, variables = init_model(cfg)
+    x = example_batch(cfg, batch_size=2)
+    out, mut = model.apply(variables, x, train=True,
+                           rngs={"dropout": jax.random.PRNGKey(0)},
+                           mutable=["batch_stats"])
+    before = jax.tree_util.tree_leaves(variables["batch_stats"])
+    after = jax.tree_util.tree_leaves(mut["batch_stats"])
+    changed = any(not np.allclose(b, a) for b, a in zip(before, after))
+    assert changed
+
+
+def test_vformer_grad_flow():
+    cfg = tiny_cfg("vformer")
+    model, variables = init_model(cfg)
+    x = example_batch(cfg, batch_size=2)
+    suite = loss_suite(model)
+    labels = np.array([[1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0],
+                       [0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1]], np.float32)
+
+    def loss_fn(params):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            x, train=True, rngs={"dropout": jax.random.PRNGKey(0)},
+            mutable=["batch_stats"])
+        return suite.get_au_loss(out, labels)
+
+    g = jax.grad(loss_fn)(variables["params"])
+    flat = jax.tree_util.tree_leaves(g)
+    norms = [float(jnp.abs(t).sum()) for t in flat]
+    assert all(np.isfinite(n) for n in norms)
+    assert sum(n > 0 for n in norms) > len(norms) * 0.5
+
+
+def test_forward_deterministic_eval():
+    cfg = tiny_cfg("avformer", "A;V")
+    model, variables = init_model(cfg)
+    x = example_batch(cfg, batch_size=2)
+    o1 = model.apply(variables, x, train=False)
+    o2 = model.apply(variables, x, train=False)
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+
+
+def test_param_count_sanity():
+    """avformer should be in the tens of millions of params (two resnet18
+    trunks + heads), per SURVEY.md §2.2 (~11-35M)."""
+    cfg = tiny_cfg("avformer", "A;V")
+    _, variables = init_model(cfg)
+    n = sum(int(np.prod(p.shape))
+            for p in jax.tree_util.tree_leaves(variables["params"]))
+    assert 20e6 < n < 60e6, f"param count {n/1e6:.1f}M out of range"
