@@ -1,0 +1,219 @@
+"""Aff2CompDataset: the training/val dataset
+(reference dataloader/aff2compdataset.py:16-292).
+
+Per sample: a 16-frame dilated uint8 face clip ending at the labeled frame,
+the AU/EX/VA labels of that frame (sentinels -1/-1/-5.0 when missing), and —
+when 'A' is in the modality — the 10 s log-mel window and raw audio.
+
+TPU-first deltas from the reference:
+  * clips stay uint8 (T, H, W, C) on host — /255 + Kinetics normalize fuses
+    on device (ops/preprocess.py) so the PCIe/ICI transfer is 4x smaller;
+  * the five LMDB envs become FrameStores (data/framestore.py) with the same
+    ``video/frame.jpg`` key schema and graceful-missing behavior;
+  * audio features are computed by the strict-parity numpy pipeline
+    (ops/audio_host.py), or the raw window is shipped for the fused
+    on-device frontend (``audio_on_device=True``).
+"""
+from __future__ import annotations
+
+import os
+import pickle
+
+import cv2
+import numpy as np
+
+from ..core.config import Config
+from ..ops import audio_host
+from . import transforms
+from .framestore import FrameStore, open_store
+from .split import create_dataset_split
+
+STORE_IMAGES = "croped_jpeg"
+STORE_MASKS = "croped_mask"
+STORE_AU = "label_au"
+STORE_EX = "label_expr"
+STORE_VA = "label_va"
+
+
+def decode_jpeg(buf: bytes) -> np.ndarray | None:
+    """JPEG bytes -> RGB uint8 (aff2compdataset.py:177-180)."""
+    arr = np.frombuffer(buf, np.uint8)
+    img = cv2.imdecode(arr, cv2.IMREAD_COLOR)
+    if img is None:
+        return None
+    return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+
+
+def decode_gray(buf: bytes) -> np.ndarray | None:
+    arr = np.frombuffer(buf, np.uint8)
+    return cv2.imdecode(arr, cv2.IMREAD_GRAYSCALE)
+
+
+class Aff2CompDataset:
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        self.task = cfg.task
+        assert self.task in ("ALL", "EX", "AU", "VA")
+        self.video_dir = cfg.root
+        self.extracted_dir = os.path.join(cfg.root, "extracted")
+        label_dir = cfg.lmdb_label_dir
+
+        self.env_image = open_store(os.path.join(label_dir, STORE_IMAGES))
+        self.env_mask = open_store(os.path.join(label_dir, STORE_MASKS))
+        self.env_au = FrameStore(os.path.join(label_dir, STORE_AU))
+        self.env_ex = FrameStore(os.path.join(label_dir, STORE_EX))
+        self.env_va = FrameStore(os.path.join(label_dir, STORE_VA))
+
+        v2o = os.path.join(cfg.root, "video2orignal.pkl")
+        if os.path.isfile(v2o):
+            with open(v2o, "rb") as f:
+                self.video2orignal = pickle.load(f)
+        else:
+            self.video2orignal = {}
+
+        self.clip_len = cfg.n_frames
+        self.input_size = (cfg.image_size, cfg.image_size)
+        self.dilation = cfg.dilation
+        self.label_frame = self.clip_len * self.dilation
+
+        self.sample_rate = cfg.sample_rate
+        self.sample_len_secs = cfg.audio_len_secs
+        self.sample_len_frames = cfg.sample_len_frames
+        self.audio_shift_samples = cfg.audio_shift_samples
+        self.n_mels = cfg.n_mels
+        self.audio_on_device = False
+
+        cache = os.path.join(cfg.cache_dir, f"split_dict_{self.task}.pkl")
+        if not os.path.isfile(cache):
+            split = create_dataset_split(cfg.root, save_dir=cfg.cache_dir)
+            split = split[self.task]
+        else:
+            with open(cache, "rb") as f:
+                split = pickle.load(f)
+        self.time_stamps = split["timestamp"]
+        self.image_path = list(split["image_path"])
+        self.train_ids = np.asarray(split["train"])
+        self.val_ids = np.asarray(split["val"])
+        self.test_ids = np.asarray(split.get("test",
+                                             np.zeros_like(self.train_ids)))
+        self.video_db_nr = np.asarray(split["video_db_nr"])
+
+        self.use_mask = "M" in cfg.modality
+        self.use_audio = "A" in cfg.modality.split(";")
+        self.modes = ["clip", "audio_features"]
+        self.aug = False
+
+    # -- reference setters (aff2compdataset.py:104-112) ----------------------
+    def set_clip_len(self, clip_len):
+        assert clip_len % 2 == 0
+        self.clip_len = clip_len
+        self.label_frame = self.clip_len * self.dilation
+
+    def set_modes(self, modes):
+        self.modes = list(modes)
+
+    def set_aug(self, aug: bool):
+        self.aug = aug
+
+    # -- store access ---------------------------------------------------------
+    def _store_key(self, video_frame: str) -> str:
+        video_name = os.path.dirname(video_frame)
+        frame_name = os.path.basename(video_frame)
+        video_name = self.video2orignal.get(video_name, video_name)
+        return video_name + "/" + frame_name
+
+    def get_image(self, video_frame: str) -> np.ndarray | None:
+        if self.env_image is None:
+            p = os.path.join(self.extracted_dir, video_frame)
+            img = cv2.imread(p, cv2.IMREAD_COLOR)
+            return cv2.cvtColor(img, cv2.COLOR_BGR2RGB) if img is not None else None
+        buf = self.env_image.get(self._store_key(video_frame))
+        return decode_jpeg(buf) if buf is not None else None
+
+    def get_mask(self, video_frame: str) -> np.ndarray | None:
+        if self.env_mask is None:
+            return None
+        buf = self.env_mask.get(self._store_key(video_frame))
+        return decode_gray(buf) if buf is not None else None
+
+    def get_label(self, video_frame: str, task: str) -> np.ndarray:
+        """Sentinels on miss: AU -1x12 int8, EX -1x1 int8, VA -5.0x2 f32
+        (aff2compdataset.py:249-289)."""
+        key = self._store_key(video_frame)
+        if task == "au":
+            buf = self.env_au.get(key)
+            return (np.frombuffer(buf, np.int8).copy() if buf is not None
+                    else -1 * np.ones(12, np.int8))
+        if task == "ex":
+            buf = self.env_ex.get(key)
+            return (np.frombuffer(buf, np.int8).copy() if buf is not None
+                    else -1 * np.ones(1, np.int8))
+        if task == "va":
+            buf = self.env_va.get(key)
+            return (np.frombuffer(buf, np.float32).copy() if buf is not None
+                    else -5.0 * np.ones(2, np.float32))
+        raise ValueError(task)
+
+    # -- clip assembly (aff2compdataset.py:114-175) ---------------------------
+    def get_clip(self, index: int) -> np.ndarray:
+        channels = 4 if self.use_mask else 3
+        clip = np.zeros((self.clip_len, *self.input_size, channels), np.uint8)
+        video_db_nr = self.video_db_nr[index]
+        lo = index - self.label_frame + self.dilation
+        hi = index - self.label_frame + self.dilation * (self.clip_len + 1)
+        for clip_i, all_i in enumerate(range(lo, hi, self.dilation)):
+            if (all_i < 0 or all_i >= len(self)
+                    or self.video_db_nr[all_i] != video_db_nr):
+                continue  # black frame (different video / out of range)
+            img = self.get_image(self.image_path[all_i])
+            if img is not None and img.shape[:2] == self.input_size:
+                clip[clip_i, :, :, 0:3] = img
+            if self.use_mask:
+                m = self.get_mask(self.image_path[all_i])
+                if m is not None and m.shape[:2] == self.input_size:
+                    clip[clip_i, :, :, 3] = m
+        return clip
+
+    # -- audio (aff2compdataset.py:214-247) -----------------------------------
+    def get_audio_feature(self, video_id: str, index: int):
+        audio_file = os.path.join(self.video_dir, video_id + ".wav")
+        offset, n = audio_host.audio_window_params(
+            self.time_stamps[index], self.sample_rate, self.sample_len_frames,
+            self.audio_shift_samples)
+        try:
+            audio, _sr = audio_host.load_wav(audio_file, offset=offset,
+                                             num_samples=n)
+            if audio.shape[0] > 1:
+                audio = audio[:1]
+        except (OSError, EOFError, ValueError):
+            audio = np.zeros((1, self.sample_len_frames), np.float32)
+        if audio.shape[1] == 0:
+            audio = np.zeros((1, self.sample_len_frames), np.float32)
+        return audio_host.reference_audio_features(
+            audio, self.sample_len_secs, self.cfg.window_stride,
+            self.sample_len_frames, self.n_mels)
+
+    def __getitem__(self, index: int) -> dict:
+        data = {"Index": index}
+        video_id = os.path.dirname(self.image_path[index])
+        current = self.image_path[index]
+
+        clip = self.get_clip(index)
+        data["AU"] = self.get_label(current, "au")
+        data["EX"] = self.get_label(current, "ex")
+        data["VA"] = self.get_label(current, "va")
+
+        if self.aug and not self.use_mask:
+            clip = transforms.train_augment(clip)
+        elif self.use_mask:
+            clip = transforms.random_clip_flip(clip) if self.aug else clip
+        data["clip"] = clip  # uint8 (T,H,W,C); device normalizes
+
+        if self.use_audio and "audio_features" in self.modes:
+            feats, audio = self.get_audio_feature(video_id, index)
+            data["audio_features"] = feats
+            data["audio"] = audio
+        return data
+
+    def __len__(self):
+        return len(self.image_path)

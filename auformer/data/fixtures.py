@@ -1,0 +1,111 @@
+"""Synthetic dataset fixtures (SURVEY.md §4: the reference has no tests; the
+rebuild creates them — this generator produces a miniature Aff-Wild2-shaped
+dataset exercising the full store -> decode -> clip -> audio -> label path).
+
+Creates under a root directory:
+  extracted/<video>/00001.jpg...   stub frame listing (for the split builder)
+  <video>meta.json                 num_frames / fps / per-task split
+  <video>_video_ts.txt             timestamps_v2 file
+  <video>.wav                      44.1 kHz mono PCM tone+noise
+  video2orignal.pkl                identity mapping
+and under a label dir, the five FrameStores with JPEG frames, masks and
+AU/EX/VA labels keyed "video/frame.jpg" (create_lmdb.py:20-24 key schema).
+"""
+from __future__ import annotations
+
+import json
+import os
+import pickle
+
+import cv2
+import numpy as np
+
+from ..ops.audio_host import write_wav
+from .framestore import FrameStoreWriter
+from .dataset import (STORE_AU, STORE_EX, STORE_IMAGES, STORE_MASKS,
+                      STORE_VA)
+
+
+def _face_like(rs: np.random.RandomState, size: int, t: int) -> np.ndarray:
+    """Cheap structured image: gradient + moving blob, JPEG-compressible."""
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
+    base = np.stack([0.5 + 0.3 * xx, 0.4 + 0.3 * yy,
+                     0.45 + 0.2 * (xx + yy) / 2], -1)
+    cx, cy = 0.5 + 0.2 * np.sin(t * 0.3), 0.5 + 0.2 * np.cos(t * 0.21)
+    blob = np.exp(-(((xx - cx) ** 2 + (yy - cy) ** 2) / 0.02))
+    img = base + 0.3 * blob[..., None]
+    img = img + rs.randn(size, size, 3).astype(np.float32) * 0.02
+    return np.clip(img * 255, 0, 255).astype(np.uint8)
+
+
+def generate_synthetic_dataset(root: str, label_dir: str,
+                               n_videos: int = 3,
+                               frames_per_video: int = 80,
+                               image_size: int = 112,
+                               fps: float = 30.0,
+                               seed: int = 0,
+                               with_masks: bool = True,
+                               audio_secs: float | None = None) -> dict:
+    rs = np.random.RandomState(seed)
+    os.makedirs(root, exist_ok=True)
+    os.makedirs(label_dir, exist_ok=True)
+
+    img_w = FrameStoreWriter(os.path.join(label_dir, STORE_IMAGES))
+    mask_w = FrameStoreWriter(os.path.join(label_dir, STORE_MASKS))
+    au_w = FrameStoreWriter(os.path.join(label_dir, STORE_AU))
+    ex_w = FrameStoreWriter(os.path.join(label_dir, STORE_EX))
+    va_w = FrameStoreWriter(os.path.join(label_dir, STORE_VA))
+
+    v2o = {}
+    splits = ["train", "train", "val", "test"]
+    for vi in range(n_videos):
+        video_id = f"vid{vi:03d}"
+        v2o[video_id] = video_id
+        frame_dir = os.path.join(root, "extracted", video_id)
+        os.makedirs(frame_dir, exist_ok=True)
+        split = splits[vi % len(splits)]
+        meta = {"num_frames": frames_per_video, "fps": fps,
+                "AU": split, "EX": split, "VA": split}
+        with open(os.path.join(root, video_id + "meta.json"), "w") as f:
+            json.dump(meta, f)
+        with open(os.path.join(root, video_id + "_video_ts.txt"), "w") as f:
+            f.write("# timestamp format v2\n")
+            for t in range(frames_per_video):
+                f.write(f"{t * 1000.0 / fps:.6f}\n")
+
+        dur = audio_secs or (frames_per_video / fps + 0.5)
+        n = int(dur * 44100)
+        tt = np.arange(n, dtype=np.float32) / 44100.0
+        wav = (0.3 * np.sin(2 * np.pi * (200 + 40 * vi) * tt)
+               + 0.05 * rs.randn(n).astype(np.float32))
+        write_wav(os.path.join(root, video_id + ".wav"), wav[None])
+
+        for t in range(frames_per_video):
+            fname = f"{t + 1:05d}.jpg"
+            key = f"{video_id}/{fname}"
+            # stub file for the split builder's directory listing
+            open(os.path.join(frame_dir, fname), "wb").close()
+            img = _face_like(rs, image_size, t)
+            ok, enc = cv2.imencode(".jpg", cv2.cvtColor(img, cv2.COLOR_RGB2BGR),
+                                   [cv2.IMWRITE_JPEG_QUALITY, 90])
+            assert ok
+            img_w.put(key, enc.tobytes())
+            if with_masks:
+                mask = ((img[:, :, 0] > 100) * 255).astype(np.uint8)
+                ok, menc = cv2.imencode(".jpg", mask)
+                mask_w.put(key, menc.tobytes())
+            # labels: drop some frames to exercise sentinel paths
+            if rs.rand() > 0.15:
+                au_w.put(key, rs.randint(0, 2, 12).astype(np.int8).tobytes())
+            if rs.rand() > 0.15:
+                ex_w.put(key, np.array([rs.randint(0, 7)],
+                                       np.int8).tobytes())
+            if rs.rand() > 0.15:
+                va_w.put(key, rs.uniform(-1, 1, 2).astype(np.float32)
+                         .tobytes())
+
+    for w in (img_w, mask_w, au_w, ex_w, va_w):
+        w.close()
+    with open(os.path.join(root, "video2orignal.pkl"), "wb") as f:
+        pickle.dump(v2o, f)
+    return {"n_videos": n_videos, "frames_per_video": frames_per_video}

@@ -1,0 +1,142 @@
+"""Index samplers + loader (reference dataloader/utils.py:5-48 equivalents,
+torch-free).
+
+The loader is where the reference's num_workers=0, synchronous-one-ahead
+Prefetcher bottleneck (SURVEY.md §3.2) is replaced: samples are fetched by a
+thread pool (LMDB-style mmap reads + cv2 JPEG decode release the GIL) and
+whole batches are assembled ahead of consumption, optionally sharded per
+host for multi-host data parallelism.
+"""
+from __future__ import annotations
+
+import queue
+import random
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterable, Iterator, Sequence
+
+import numpy as np
+
+
+class SubsetSequentialSampler:
+    """Iterate a fixed index subset, optionally shuffled ONCE at
+    construction (reference dataloader/utils.py:5-16)."""
+
+    def __init__(self, indices: Sequence[int], shuffle: bool = False):
+        self.indices = list(indices)
+        if shuffle:
+            random.shuffle(self.indices)
+
+    def __iter__(self) -> Iterator[int]:
+        return iter(self.indices)
+
+    def __len__(self) -> int:
+        return len(self.indices)
+
+
+class SubsetRandomSampler:
+    """Fresh permutation each epoch (reference dataloader/utils.py:18-30)."""
+
+    def __init__(self, indices: Sequence[int]):
+        self.indices = list(indices)
+
+    def __iter__(self) -> Iterator[int]:
+        perm = np.random.permutation(len(self.indices))
+        return (self.indices[i] for i in perm)
+
+    def __len__(self) -> int:
+        return len(self.indices)
+
+
+def shard_indices(indices: Sequence[int], host_id: int,
+                  num_hosts: int) -> list[int]:
+    """Per-host contiguous-stride shard for multi-host input pipelines."""
+    return list(indices)[host_id::num_hosts]
+
+
+def collate(samples: list[dict]) -> dict:
+    """Stack a list of sample dicts into batched numpy arrays."""
+    out = {}
+    for k in samples[0]:
+        vals = [s[k] for s in samples]
+        if np.isscalar(vals[0]):
+            out[k] = np.asarray(vals)
+        else:
+            out[k] = np.stack(vals)
+    return out
+
+
+class DataLoader:
+    """Threaded map-style loader: sampler -> batches of collated numpy.
+
+    drop_last matches the reference's training loader (train.py:190-192).
+    """
+
+    def __init__(self, dataset, batch_size: int, sampler: Iterable[int],
+                 num_threads: int = 4, drop_last: bool = False,
+                 prefetch_batches: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.sampler = sampler
+        self.num_threads = max(1, num_threads)
+        self.drop_last = drop_last
+        self.prefetch_batches = max(1, prefetch_batches)
+
+    def _batches(self) -> Iterator[list[int]]:
+        batch = []
+        for idx in self.sampler:
+            batch.append(int(idx))
+            if len(batch) == self.batch_size:
+                yield batch
+                batch = []
+        if batch and not self.drop_last:
+            yield batch
+
+    def __len__(self) -> int:
+        n = len(self.sampler)  # type: ignore[arg-type]
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self) -> Iterator[dict]:
+        with ThreadPoolExecutor(self.num_threads) as pool:
+            pending: queue.Queue = queue.Queue()
+            batch_iter = self._batches()
+            depth = self.prefetch_batches
+
+            def submit_next():
+                try:
+                    idxs = next(batch_iter)
+                except StopIteration:
+                    return False
+                futs = [pool.submit(self.dataset.__getitem__, i) for i in idxs]
+                pending.put(futs)
+                return True
+
+            for _ in range(depth):
+                if not submit_next():
+                    break
+            while not pending.empty():
+                futs = pending.get()
+                samples = [f.result() for f in futs]
+                submit_next()
+                yield collate(samples)
+
+
+class Prefetcher:
+    """One-ahead prefetch on a background thread (upgrades the reference's
+    synchronous Prefetcher, dataloader/utils.py:32-48, to true overlap)."""
+
+    def __init__(self, loader: Iterable, depth: int = 2):
+        self._q: queue.Queue = queue.Queue(maxsize=depth)
+        self._done = object()
+
+        def run():
+            for item in loader:
+                self._q.put(item)
+            self._q.put(self._done)
+
+        self._t = threading.Thread(target=run, daemon=True)
+        self._t.start()
+
+    def next(self):
+        item = self._q.get()
+        return None if item is self._done else item

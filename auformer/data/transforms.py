@@ -1,0 +1,190 @@
+"""Host-side clip transforms and augmentation.
+
+The invertible-compose / normalize machinery of the reference
+(clip_transforms.py) moves on-device (ops/preprocess.py); what stays on host
+is the PIL-table augmentation, which must be bit-exact with the reference's
+AutoAugment (autoaugment.py:5-112, ops.py:5-95):
+
+  * ``ImageNetPolicy``: 24 sub-policies over {posterize, solarize, equalize,
+    autocontrast, invert, rotate, shear, color, contrast, sharpness},
+    applied frame-by-frame to the uint8 clip with (128,128,128) fill.
+  * ``random_clip_flip``: one p=0.5 horizontal flip for the whole clip.
+  * ``jpeg_compression``: optional quality-80..98 recompression.
+
+All functions take/return uint8 (T, H, W, C) numpy clips; RGB channels only
+are augmented (the mask channel, when present, passes through, matching
+SubPolicy's clip[..., 0:3] slicing, autoaugment.py:106-111).
+"""
+from __future__ import annotations
+
+import random
+from io import BytesIO
+
+import numpy as np
+from PIL import Image, ImageEnhance, ImageOps
+
+FILL = (128, 128, 128)
+
+# AutoAugment magnitude tables (autoaugment.py:63-78)
+_RANGES = {
+    "shearX": np.linspace(0, 0.3, 10),
+    "shearY": np.linspace(0, 0.3, 10),
+    "translateX": np.linspace(0, 150 / 331, 10),
+    "translateY": np.linspace(0, 150 / 331, 10),
+    "rotate": np.linspace(0, 30, 10),
+    "color": np.linspace(0.0, 0.9, 10),
+    "posterize": np.round(np.linspace(8, 4, 10), 0).astype(int),
+    "solarize": np.linspace(256, 0, 10),
+    "contrast": np.linspace(0.0, 0.9, 10),
+    "sharpness": np.linspace(0.0, 0.9, 10),
+    "brightness": np.linspace(0.0, 0.9, 10),
+    "autocontrast": [0] * 10,
+    "equalize": [0] * 10,
+    "invert": [0] * 10,
+}
+
+
+def _apply_op(img: Image.Image, op: str, magnitude) -> Image.Image:
+    """PIL op application (ops.py:5-95 semantics, including the random
+    sign choice inside shear/rotate/enhance ops)."""
+    sign = random.choice([-1, 1])
+    if op == "shearX":
+        return img.transform(img.size, Image.AFFINE,
+                             (1, magnitude * sign, 0, 0, 1, 0),
+                             Image.BICUBIC, fillcolor=FILL)
+    if op == "shearY":
+        return img.transform(img.size, Image.AFFINE,
+                             (1, 0, 0, magnitude * sign, 1, 0),
+                             Image.BICUBIC, fillcolor=FILL)
+    if op == "translateX":
+        return img.transform(img.size, Image.AFFINE,
+                             (1, 0, magnitude * img.size[0] * sign, 0, 1, 0),
+                             fillcolor=FILL)
+    if op == "translateY":
+        return img.transform(img.size, Image.AFFINE,
+                             (1, 0, 0, 0, 1, magnitude * img.size[1] * sign),
+                             fillcolor=FILL)
+    if op == "rotate":
+        # rotate with gray fill via RGBA composite (ops.py:45-50)
+        rot = img.convert("RGBA").rotate(magnitude * sign)
+        return Image.composite(
+            rot, Image.new("RGBA", rot.size, (128,) * 4), rot).convert(img.mode)
+    if op == "color":
+        return ImageEnhance.Color(img).enhance(1 + magnitude * sign)
+    if op == "contrast":
+        return ImageEnhance.Contrast(img).enhance(1 + magnitude * sign)
+    if op == "sharpness":
+        return ImageEnhance.Sharpness(img).enhance(1 + magnitude * sign)
+    if op == "brightness":
+        return ImageEnhance.Brightness(img).enhance(1 + magnitude * sign)
+    if op == "posterize":
+        return ImageOps.posterize(img, int(magnitude))
+    if op == "solarize":
+        return ImageOps.solarize(img, magnitude)
+    if op == "autocontrast":
+        return ImageOps.autocontrast(img)
+    if op == "equalize":
+        return ImageOps.equalize(img)
+    if op == "invert":
+        return ImageOps.invert(img)
+    raise ValueError(op)
+
+
+# the 24 ImageNet sub-policies (autoaugment.py:19-49)
+IMAGENET_POLICIES = [
+    (0.4, "posterize", 8, 0.6, "rotate", 9),
+    (0.6, "solarize", 5, 0.6, "autocontrast", 5),
+    (0.8, "equalize", 8, 0.6, "equalize", 3),
+    (0.6, "posterize", 7, 0.6, "posterize", 6),
+    (0.4, "equalize", 7, 0.2, "solarize", 4),
+    (0.4, "equalize", 4, 0.8, "rotate", 8),
+    (0.6, "solarize", 3, 0.6, "equalize", 7),
+    (0.8, "posterize", 5, 1.0, "equalize", 2),
+    (0.2, "rotate", 3, 0.6, "solarize", 8),
+    (0.6, "equalize", 8, 0.4, "posterize", 6),
+    (0.8, "rotate", 8, 0.4, "color", 0),
+    (0.4, "rotate", 9, 0.6, "equalize", 2),
+    (0.0, "equalize", 7, 0.8, "equalize", 8),
+    (0.6, "invert", 4, 1.0, "equalize", 8),
+    (0.6, "color", 4, 1.0, "contrast", 8),
+    (0.8, "rotate", 8, 1.0, "color", 2),
+    (0.8, "color", 8, 0.8, "solarize", 7),
+    (0.4, "sharpness", 7, 0.6, "invert", 8),
+    (0.6, "shearX", 5, 1.0, "equalize", 9),
+    (0.4, "color", 0, 0.6, "equalize", 3),
+    (0.4, "equalize", 7, 0.2, "solarize", 4),
+    (0.6, "solarize", 5, 0.6, "autocontrast", 5),
+    (0.6, "invert", 4, 1.0, "equalize", 8),
+    (0.6, "color", 4, 1.0, "contrast", 8),
+    (0.8, "equalize", 8, 0.6, "equalize", 3),
+]
+
+
+def imagenet_policy(clip: np.ndarray) -> np.ndarray:
+    """Apply one randomly-chosen sub-policy frame-by-frame in place
+    (autoaugment.py:51-56, 104-112). clip: (T, H, W, C) uint8."""
+    p1, op1, m1, p2, op2, m2 = IMAGENET_POLICIES[
+        random.randint(0, len(IMAGENET_POLICIES) - 1)]
+    mag1 = _RANGES[op1][m1]
+    mag2 = _RANGES[op2][m2]
+    for t in range(clip.shape[0]):
+        img = Image.fromarray(clip[t, :, :, 0:3])
+        if random.random() < p1:
+            img = _apply_op(img, op1, mag1)
+        if random.random() < p2:
+            img = _apply_op(img, op2, mag2)
+        clip[t, :, :, 0:3] = np.array(img)
+    return clip
+
+
+def random_clip_flip(clip: np.ndarray, p: float = 0.5) -> np.ndarray:
+    """Whole-clip horizontal flip (clip_transforms.py:111-128)."""
+    if random.random() < p:
+        clip = clip[:, :, ::-1, :].copy()
+    return clip
+
+
+def jpeg_compression(clip: np.ndarray, probability: float = 0.2) -> np.ndarray:
+    """Random JPEG recompression of the RGB channels
+    (clip_transforms.py:152-172)."""
+    if np.random.random() > probability:
+        return clip
+    for t in range(clip.shape[0]):
+        img = Image.fromarray(clip[t, :, :, 0:3])
+        buf = BytesIO()
+        img.save(buf, format="jpeg", quality=int(np.random.randint(80, 99)))
+        clip[t, :, :, 0:3] = np.array(Image.open(buf))
+    return clip
+
+
+def random_color_augment(clip: np.ndarray,
+                         brightness: float = 0.25, contrast: float = 0.3,
+                         saturation: float = 0.3, hue: float = 0.02
+                         ) -> np.ndarray:
+    """Per-frame random color jitter — the intensity.py RandomColorAugment
+    capability (intensity.py:296-359), realized with PIL enhancers."""
+    for t in range(clip.shape[0]):
+        img = Image.fromarray(clip[t, :, :, 0:3])
+        if brightness:
+            img = ImageEnhance.Brightness(img).enhance(
+                1 + random.uniform(-brightness, brightness))
+        if contrast:
+            img = ImageEnhance.Contrast(img).enhance(
+                1 + random.uniform(-contrast, contrast))
+        if saturation:
+            img = ImageEnhance.Color(img).enhance(
+                1 + random.uniform(-saturation, saturation))
+        if hue:
+            hsv = np.array(img.convert("HSV"), dtype=np.int16)
+            hsv[..., 0] = (hsv[..., 0]
+                           + int(random.uniform(-hue, hue) * 255)) % 256
+            img = Image.fromarray(hsv.astype(np.uint8), "HSV").convert("RGB")
+        clip[t, :, :, 0:3] = np.array(img)
+    return clip
+
+
+def train_augment(clip: np.ndarray) -> np.ndarray:
+    """The reference training pipeline: ImageNetPolicy + RandomClipFlip
+    (aff2compdataset.py:72-74)."""
+    clip = imagenet_policy(clip)
+    return random_clip_flip(clip)

@@ -1,0 +1,151 @@
+"""Data layer tests: framestore, split builder, dataset assembly, loader."""
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from auformer.core.config import Config
+from auformer.data import (Aff2CompDataset, DataLoader, FrameStore,
+                           FrameStoreWriter, Prefetcher,
+                           SubsetSequentialSampler, create_dataset_split)
+from auformer.data.fixtures import generate_synthetic_dataset
+
+
+@pytest.fixture(scope="module")
+def dataset_dirs(tmp_path_factory):
+    base = tmp_path_factory.mktemp("aff2")
+    root = str(base / "root")
+    label = str(base / "labels")
+    generate_synthetic_dataset(root, label, n_videos=3, frames_per_video=60,
+                               image_size=64, audio_secs=3.0)
+    return root, label, str(base / "cache")
+
+
+def make_cfg(dataset_dirs, **kw):
+    root, label, cache = dataset_dirs
+    defaults = dict(root=root, lmdb_label_dir=label, cache_dir=cache,
+                    image_size=64, n_frames=4, dilation=3, modality="A;V",
+                    task="AU")
+    defaults.update(kw)
+    return Config(**defaults)
+
+
+def test_framestore_roundtrip(tmp_path):
+    p = str(tmp_path / "store")
+    with FrameStoreWriter(p, shard_size=128) as w:  # force multi-shard
+        for i in range(50):
+            w.put(f"k{i}", bytes([i]) * (i + 1))
+        w.put("k0", b"replaced")  # duplicate keeps last
+    s = FrameStore(p)
+    assert len(s) == 50
+    assert s.get("k0") == b"replaced"
+    assert s.get("k49") == bytes([49]) * 50
+    assert s.get("missing") is None
+    assert "k10" in s
+
+
+def test_split_builder(dataset_dirs):
+    root, label, cache = dataset_dirs
+    split = create_dataset_split(root, save_dir=cache)
+    d = split["AU"]
+    assert len(d["image_path"]) == 3 * 60
+    assert d["train"].sum() == 2 * 60  # videos 0,1 train
+    assert d["val"].sum() == 60
+    assert len(d["timestamp"]) == len(d["video_db_nr"]) == 180
+    assert os.path.isfile(os.path.join(cache, "split_dict_AU.pkl"))
+    # per-frame timestamps are monotone within a video
+    ts0 = d["timestamp"][:60]
+    assert (np.diff(ts0) > 0).all()
+
+
+def test_dataset_sample(dataset_dirs):
+    cfg = make_cfg(dataset_dirs)
+    ds = Aff2CompDataset(cfg)
+    assert len(ds) == 180
+    s = ds[30]
+    assert s["clip"].shape == (4, 64, 64, 3)
+    assert s["clip"].dtype == np.uint8
+    assert s["AU"].shape == (12,)
+    assert s["EX"].shape == (1,)
+    assert s["VA"].shape == (2,)
+    assert s["audio_features"].shape == (1, 64, 1001)
+    assert s["audio"].shape == (1, 441000)
+    assert np.isfinite(s["audio_features"]).all()
+
+
+def test_dataset_clip_black_frame_at_video_start(dataset_dirs):
+    """First frame of a video: all history frames out of range -> black
+    except the final (labeled) frame (aff2compdataset.py:126-131)."""
+    cfg = make_cfg(dataset_dirs)
+    ds = Aff2CompDataset(cfg)
+    s = ds[0]
+    clip = s["clip"]
+    assert clip[:-1].max() == 0          # black history
+    assert clip[-1].max() > 0            # labeled frame decoded
+
+
+def test_dataset_video_boundary_no_bleed(dataset_dirs):
+    """Frame 0 of video 2 must not pull frames from video 1."""
+    cfg = make_cfg(dataset_dirs)
+    ds = Aff2CompDataset(cfg)
+    s = ds[60]  # first frame of vid001
+    assert s["clip"][:-1].max() == 0
+
+
+def test_dataset_mask_modality(dataset_dirs):
+    cfg = make_cfg(dataset_dirs, modality="V;M")
+    ds = Aff2CompDataset(cfg)
+    s = ds[30]
+    assert s["clip"].shape == (4, 64, 64, 4)
+    assert "audio_features" not in s
+
+
+def test_dataset_sentinel_labels(dataset_dirs):
+    cfg = make_cfg(dataset_dirs)
+    ds = Aff2CompDataset(cfg)
+    aus = np.stack([ds.get_label(p, "au") for p in ds.image_path[:60]])
+    assert (aus == -1).all(axis=1).any()      # some missing -> all -1
+    assert (aus != -1).any()                  # some present
+
+
+def test_dataloader_batching(dataset_dirs):
+    cfg = make_cfg(dataset_dirs, modality="V")
+    ds = Aff2CompDataset(cfg)
+    ids = np.nonzero(ds.train_ids)[0]
+    loader = DataLoader(ds, batch_size=8,
+                        sampler=SubsetSequentialSampler(ids),
+                        num_threads=2, drop_last=True)
+    batches = list(loader)
+    assert len(batches) == len(ids) // 8
+    b = batches[0]
+    assert b["clip"].shape == (8, 4, 64, 64, 3)
+    assert b["AU"].shape == (8, 12)
+    assert b["Index"].shape == (8,)
+
+
+def test_prefetcher(dataset_dirs):
+    cfg = make_cfg(dataset_dirs, modality="V")
+    ds = Aff2CompDataset(cfg)
+    ids = np.nonzero(ds.train_ids)[0][:16]
+    loader = DataLoader(ds, batch_size=8,
+                        sampler=SubsetSequentialSampler(ids), num_threads=2)
+    pf = Prefetcher(loader)
+    n = 0
+    while (batch := pf.next()) is not None:
+        n += 1
+        assert batch["clip"].shape[0] == 8
+    assert n == 2
+
+
+def test_augmentation_changes_clip(dataset_dirs):
+    cfg = make_cfg(dataset_dirs, modality="V")
+    ds = Aff2CompDataset(cfg)
+    import random
+    random.seed(0)
+    ds.set_aug(False)
+    base = ds[30]["clip"].copy()
+    ds.set_aug(True)
+    changed = any(not np.array_equal(ds[30]["clip"], base)
+                  for _ in range(5))
+    assert changed
