@@ -66,6 +66,7 @@ class Config:
 
     # -- derived / runtime -----------------------------------------------------
     checkpoint_path: str = ""
+    steps_per_epoch: int = 0  # filled by the train driver; used by lr decay
 
     # audio constants fixed by the reference (aff2compdataset.py:47-65)
     sample_rate: int = 44100

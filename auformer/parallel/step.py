@@ -1,0 +1,190 @@
+"""pjit train/eval step builders (the reference's single-GPU loop body,
+train.py:202-244, as a global SPMD program).
+
+Design (SURVEY.md §2.2 TPU-native table):
+  * one jitted step, donated state, batch dim sharded over the 'data' mesh
+    axis, params/opt-state replicated (pure DP at this model scale);
+  * gradients, loss means, and BatchNorm batch statistics are written as
+    global reductions — GSPMD inserts the ICI collectives (psum) itself;
+  * uint8 clips are normalized on device inside the step (fused into the
+    stem conv's input);
+  * stream freezing (avformer.py:78-85 freezes the pretrained A/V streams)
+    is an optax mask: frozen subtrees get zero updates, exactly like
+    requires_grad=False under Adam.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.config import Config
+from ..losses import LossSuite
+from ..ops.preprocess import normalize_clip, random_flip_clips
+
+# subtrees frozen when training avformer with pretrained streams
+# (reference avformer.py:78-85: whole audio_model + video_model frozen,
+# only the fusion au_head trains)
+FROZEN_PREFIXES = {"avformer": ("audio_model", "video_model")}
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads, new_batch_stats):
+        updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
+        return self.replace(step=self.step + 1,
+                            params=optax.apply_updates(self.params, updates),
+                            batch_stats=new_batch_stats,
+                            opt_state=new_opt)
+
+
+def trainable_mask(params, frozen_prefixes: tuple[str, ...]):
+    """optax mask pytree: True = train, False = frozen."""
+    def mark(path_root, tree):
+        frozen = path_root in frozen_prefixes
+        return jax.tree_util.tree_map(lambda _: not frozen, tree)
+    return {k: mark(k, v) for k, v in params.items()}
+
+
+def make_optimizer(cfg: Config, params=None) -> optax.GradientTransformation:
+    """Adam(lr, weight_decay) as in the reference (train.py:334: torch Adam
+    with weight_decay = L2-into-gradient, NOT adamw), with the *intended*
+    x0.1 decay at epochs 30/60 as an optional schedule (the reference
+    computes it but never applies it, train.py:181-185 — enable with
+    cfg.lr_schedule), plus optional warmup and global-norm clipping for the
+    parsed-but-dead flags (opts.py:21-24)."""
+    def lr(step):
+        base = cfg.learning_rate
+        if cfg.lr_schedule and cfg.steps_per_epoch:
+            epoch = step // max(cfg.steps_per_epoch, 1)
+            base = base * jnp.where(epoch >= 60, 0.01,
+                                    jnp.where(epoch >= 30, 0.1, 1.0))
+        if cfg.n_warmup_steps > 0:
+            base = base * jnp.minimum(1.0, (step + 1) / cfg.n_warmup_steps)
+        return base
+
+    chain = []
+    if cfg.grad_clip and cfg.grad_clip > 0:
+        chain.append(optax.clip_by_global_norm(cfg.grad_clip))
+    if cfg.weight_decay:
+        chain.append(optax.add_decayed_weights(cfg.weight_decay))
+    chain.append(optax.scale_by_adam())
+    chain.append(optax.scale_by_learning_rate(lr))
+    tx = optax.chain(*chain)
+
+    frozen = FROZEN_PREFIXES.get(cfg.model_name)
+    if frozen and params is not None:
+        tx = optax.multi_transform(
+            {"train": tx, "frozen": optax.set_to_zero()},
+            param_labels=jax.tree_util.tree_map(
+                lambda t: "train" if t else "frozen",
+                trainable_mask(params, frozen)))
+    return tx
+
+
+def create_train_state(cfg: Config, model, variables) -> TrainState:
+    tx = make_optimizer(cfg, variables["params"])
+    return TrainState(step=jnp.zeros((), jnp.int32),
+                      params=variables["params"],
+                      batch_stats=variables.get("batch_stats", {}),
+                      opt_state=tx.init(variables["params"]), tx=tx)
+
+
+def prep_batch(batch: dict, train: bool, flip_rng=None) -> dict:
+    """Device-side preprocessing: uint8 clip -> normalized float; optional
+    train-time whole-clip flip (eval path never flips)."""
+    x = dict(batch)
+    clip = x.get("clip")
+    if clip is not None and clip.dtype == jnp.uint8:
+        clip = normalize_clip(clip)
+        if train and flip_rng is not None:
+            clip = random_flip_clips(clip, flip_rng)
+        x["clip"] = clip
+    return x
+
+
+def _labels_of(batch):
+    ex = batch["EX"].reshape(-1).astype(jnp.int32)
+    ex = jnp.where(ex == -1, 7, ex)  # train.py:126,208 remap
+    return {"AU": batch["AU"].astype(jnp.float32),
+            "EX": ex,
+            "VA": batch["VA"].astype(jnp.float32)}
+
+
+def task_loss(suite: LossSuite, task: str, out, labels):
+    t = task.lower()
+    if t == "ex":
+        return suite.get_ex_loss(out, labels["EX"]), {}
+    if t == "au":
+        return suite.get_au_loss(out, labels["AU"]), {}
+    if t == "va":
+        return suite.get_va_loss(out, labels["VA"]), {}
+    lex, lau, lva = suite.get_mt_loss(out, labels)
+    # multi-task weighting 3*EX + AU + VA (train.py:230)
+    return 3.0 * lex + lau + lva, {"ex": lex, "au": lau, "va": lva}
+
+
+def make_train_step(cfg: Config, model, suite: LossSuite,
+                    mesh: Optional[Mesh] = None,
+                    donate: bool = True) -> Callable:
+    """Returns step(state, batch, rng) -> (state, metrics), jitted.
+
+    With a mesh, inputs/outputs carry NamedShardings (batch over 'data');
+    without, a plain jit for single-device use.
+    """
+    task = cfg.task
+
+    def step(state: TrainState, batch: dict, rng: jax.Array):
+        flip_rng, drop_rng = jax.random.split(rng)
+        x = prep_batch(batch, train=True, flip_rng=flip_rng)
+        labels = _labels_of(batch)
+        modes = set(getattr(model, "modes", x.keys()))
+        x = {k: v for k, v in x.items() if k in modes}
+
+        def loss_fn(params):
+            out, mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                x, train=True, rngs={"dropout": drop_rng},
+                mutable=["batch_stats"])
+            loss, parts = task_loss(suite, task, out, labels)
+            return loss, (mut["batch_stats"], parts)
+
+        (loss, (new_bs, parts)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads, new_bs)
+        metrics = {"loss": loss, **parts}
+        return new_state, metrics
+
+    # GSPMD: the step is a global program; the feed places the batch with a
+    # 'data'-sharded NamedSharding (core.mesh.shard_batch) and jit propagates
+    # shardings, inserting grad/BN-stat collectives over ICI automatically.
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(cfg: Config, model, suite: LossSuite,
+                   mesh: Optional[Mesh] = None) -> Callable:
+    task = cfg.task
+
+    def step(params, batch_stats, batch: dict):
+        x = prep_batch(batch, train=False)
+        labels = _labels_of(batch)
+        modes = set(getattr(model, "modes", x.keys()))
+        x = {k: v for k, v in x.items() if k in modes}
+        out = model.apply({"params": params, "batch_stats": batch_stats},
+                          x, train=False)
+        loss, _ = task_loss(suite, task, out, labels)
+        return out.astype(jnp.float32), loss
+
+    return jax.jit(step)

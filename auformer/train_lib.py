@@ -1,0 +1,189 @@
+"""Training driver (reference train.py:106-336, TPU-native).
+
+Keeps the reference's training *protocol* — per-epoch 1/downsample_rate
+frame subsampling with a reshuffled mask (train.py:174-189), one-shot-
+shuffled sequential sampler, per-epoch eval with composite scores, early
+stopping on the task score, latest/best checkpoints — while replacing the
+execution engine: threaded host input pipeline feeding a donated, jitted
+SPMD train step on a device mesh.
+"""
+from __future__ import annotations
+
+import logging
+import os
+import random
+import time
+from collections import defaultdict
+
+import jax
+import numpy as np
+
+from .core.checkpointing import EarlyStopper, load_checkpoint, save_checkpoint
+from .core.config import Config
+from .core.mesh import make_mesh, shard_batch
+from .core.prng import key_seq, setup_seed
+from .data import (Aff2CompDataset, DataLoader, Prefetcher,
+                   SubsetSequentialSampler)
+from .metrics import AccF1Metric, CCCMetric, MultiLabelAccF1, composite_scores
+from .nn import build_model, init_model, loss_suite
+from .parallel import TrainState, create_train_state, make_eval_step, \
+    make_train_step
+
+
+class AverageMeter:
+    """reference utils.py:21-36."""
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self.val = 0.0
+        self.avg = 0.0
+        self.sum = 0.0
+        self.count = 0
+
+    def update(self, val, n=1):
+        self.val = val
+        self.sum += val * n
+        self.count += n
+        self.avg = self.sum / max(self.count, 1)
+
+
+def evaluate(cfg: Config, model, suite, eval_step, state: TrainState,
+             loader, mesh=None, num_step: int | None = None):
+    """Validation sweep -> composite scores (reference train.py:106-169)."""
+    metric_ex = AccF1Metric(ignore_index=7)
+    metric_va = CCCMetric(ignore_index=-5.0)
+    metric_au = MultiLabelAccF1(ignore_index=-1)
+    total_loss, steps = 0.0, 0
+    for batch in loader:
+        if num_step is not None and steps >= num_step:
+            break
+        dev_batch = shard_batch(mesh, batch) if mesh is not None else batch
+        out, loss = eval_step(state.params, state.batch_stats, dev_batch)
+        out = np.asarray(out)
+        total_loss += float(loss)
+        steps += 1
+
+        label_ex = batch["EX"].reshape(-1).astype(np.int64)
+        label_ex[label_ex == -1] = 7
+        pred_ex = np.argmax(out[:, 12:19], axis=1)
+        metric_ex.update(pred_ex, label_ex)
+        metric_va.update(np.tanh(out[:, 19:21]),
+                         batch["VA"].astype(np.float32))
+        metric_au.update(np.round(1.0 / (1.0 + np.exp(-out[:, :12]))),
+                         batch["AU"].astype(np.float32))
+    scores = composite_scores(metric_ex, metric_au, metric_va)
+    scores["loss"] = total_loss / max(steps, 1)
+    return scores
+
+
+def train(cfg: Config, dataset=None, max_steps_per_epoch: int | None = None,
+          epochs: int | None = None):
+    """Full training entry (reference train.py:172-336)."""
+    root_key = setup_seed(cfg.seed)
+    keys = key_seq(root_key)
+
+    os.makedirs(cfg.exp_dir, exist_ok=True)
+    log_file = os.path.join(
+        cfg.exp_dir, f"{cfg.model_name}_{cfg.modality}_log.txt")
+    logging.basicConfig(filename=log_file, level=logging.INFO,
+                        format="[%(asctime)s.%(msecs)03d] %(message)s",
+                        datefmt="%H:%M:%S")
+
+    mesh = make_mesh(cfg.mesh_shape)
+    model, variables = init_model(cfg)
+    suite = loss_suite(model)
+
+    dataset = dataset or Aff2CompDataset(cfg)
+    dataset.set_modes(list(model.modes))
+
+    cfg.checkpoint_path = os.path.join(cfg.exp_dir, "pretrain")
+    start_epoch = 0
+    if cfg.resume:
+        restored = load_checkpoint(cfg.checkpoint_path, "latest",
+                                   target={"params": variables["params"],
+                                           "batch_stats": variables["batch_stats"]})
+        if restored is not None:
+            variables = dict(variables)
+            variables["params"] = restored["params"]
+            variables["batch_stats"] = restored["batch_stats"]
+            start_epoch = cfg.start_epoch
+            logging.info("resumed from latest checkpoint")
+
+    downsample = np.zeros(len(dataset), dtype=int)
+    downsample[np.arange(0, len(dataset) - 1, cfg.downsample_rate)] = 1
+    cfg.steps_per_epoch = int((dataset.train_ids * downsample).sum()
+                              // max(cfg.batch_size, 1))
+
+    state = create_train_state(cfg, model, variables)
+    train_step = make_train_step(cfg, model, suite, mesh)
+    eval_step = make_eval_step(cfg, model, suite, mesh)
+    stopper = EarlyStopper(cfg.early_stop_step, cfg.checkpoint_path)
+
+    epochs = epochs if epochs is not None else cfg.epochs
+    history = []
+    for epoch in range(start_epoch, epochs):
+        np.random.shuffle(downsample)
+        dataset.set_aug(True)
+        train_ids = np.nonzero(dataset.train_ids * downsample)[0]
+        loader = DataLoader(dataset, cfg.batch_size,
+                            SubsetSequentialSampler(train_ids, shuffle=True),
+                            num_threads=cfg.host_threads, drop_last=True,
+                            prefetch_batches=cfg.prefetch_depth)
+        logging.info(f"Training {cfg.task}, Epoch:{epoch}")
+        meters = defaultdict(AverageMeter)
+        prefetch = Prefetcher(loader, depth=cfg.prefetch_depth)
+        step_i = 0
+        t_epoch = time.time()
+        while (batch := prefetch.next()) is not None:
+            if max_steps_per_epoch and step_i >= max_steps_per_epoch:
+                break
+            dev_batch = shard_batch(mesh, batch)
+            state, metrics = train_step(state, dev_batch, keys())
+            meters["loss"].update(float(metrics["loss"]))
+            for k in ("ex", "au", "va"):
+                if k in metrics:
+                    meters[k].update(float(metrics[k]))
+            step_i += 1
+            if step_i % cfg.log_every == 0:
+                logging.info(f"epoch {epoch} step {step_i} "
+                             f"loss {meters['loss'].avg:.4f}")
+        dt = time.time() - t_epoch
+        logging.info(
+            f"Total Loss,{meters['loss'].avg}, Ex:{meters['ex'].avg}, "
+            f"AU:{meters['au'].avg}, VA:{meters['va'].avg} "
+            f"({step_i} steps, {dt:.1f}s)")
+
+        save_checkpoint(cfg.checkpoint_path,
+                        {"params": jax.device_get(state.params),
+                         "batch_stats": jax.device_get(state.batch_stats)},
+                        name="latest")
+
+        dataset.set_aug(False)
+        val_ids = np.nonzero(dataset.val_ids * downsample)[0]
+        val_bs = cfg.batch_size * cfg.eval_batch_mult
+        val_loader = DataLoader(dataset, val_bs,
+                                SubsetSequentialSampler(val_ids, shuffle=True),
+                                num_threads=cfg.host_threads, drop_last=True,
+                                prefetch_batches=cfg.prefetch_depth)
+        num_eval = max(int(len(val_ids) / val_bs), 1) if len(val_ids) else 0
+        scores = evaluate(cfg, model, suite, eval_step, state, val_loader,
+                          mesh, num_step=num_eval)
+
+        if cfg.task == "ALL":
+            total_score = sum(scores[t]["score"] for t in ("EX", "AU", "VA"))
+        else:
+            total_score = scores[cfg.task]["score"]
+        logging.info(f"Training,{cfg.task}, Epoch:{epoch}, "
+                     f"score:{total_score:.4f} {scores}")
+        history.append({"epoch": epoch, "score": total_score,
+                        "loss": meters["loss"].avg, "scores": scores})
+
+        if not stopper.is_continuable(
+                {"params": jax.device_get(state.params),
+                 "batch_stats": jax.device_get(state.batch_stats)},
+                total_score):
+            logging.info(f"validation: best score: {stopper.best_accuracy}")
+            break
+    return state, history

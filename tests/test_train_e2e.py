@@ -1,0 +1,64 @@
+"""End-to-end slice (SURVEY.md §7.2-4): synthetic store -> decode -> device
+preprocess -> jitted SPMD step on the 8-device CPU mesh -> masked loss ->
+metrics -> checkpoint. Uses vformer, visual-only, task=AU on tiny shapes.
+"""
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from auformer.core.config import Config
+from auformer.core.checkpointing import load_checkpoint
+from auformer.data.fixtures import generate_synthetic_dataset
+from auformer import train_lib
+
+
+@pytest.fixture(scope="module")
+def cfg(tmp_path_factory):
+    base = tmp_path_factory.mktemp("e2e")
+    root = str(base / "root")
+    label = str(base / "labels")
+    generate_synthetic_dataset(root, label, n_videos=3, frames_per_video=40,
+                               image_size=32, audio_secs=2.0)
+    return Config(root=root, lmdb_label_dir=label,
+                  cache_dir=str(base / "cache"),
+                  exp_dir=str(base / "exp"),
+                  model_name="vformer", modality="V", task="AU",
+                  n_frames=2, dilation=2, image_size=32,
+                  batch_size=8, downsample_rate=1, epochs=2,
+                  learning_rate=1e-3, compute_dtype="float32",
+                  use_pallas=False, host_threads=2, early_stop_step=30)
+
+
+def test_train_two_epochs(cfg):
+    assert jax.device_count() == 8  # virtual CPU mesh (conftest)
+    state, history = train_lib.train(cfg, max_steps_per_epoch=4)
+    assert len(history) == 2
+    assert np.isfinite(history[-1]["loss"])
+    # checkpoints written
+    assert os.path.isdir(os.path.join(cfg.exp_dir, "pretrain", "latest"))
+    assert os.path.isdir(os.path.join(cfg.exp_dir, "pretrain", "best"))
+    # scores present for all tasks
+    s = history[-1]["scores"]
+    assert set(s) >= {"EX", "AU", "VA", "loss"}
+    # restore roundtrip
+    restored = load_checkpoint(os.path.join(cfg.exp_dir, "pretrain"),
+                               "latest")
+    assert restored is not None
+    lhs = jax.tree_util.tree_leaves(restored["params"])
+    rhs = jax.tree_util.tree_leaves(jax.device_get(state.params))
+    assert len(lhs) == len(rhs)
+    np.testing.assert_allclose(np.asarray(lhs[0]), np.asarray(rhs[0]))
+
+
+def test_loss_decreases_on_overfit(cfg):
+    """A few steps on a fixed tiny subset should reduce the loss."""
+    import copy
+    c = copy.deepcopy(cfg)
+    c.exp_dir = cfg.exp_dir + "_overfit"
+    c.learning_rate = 3e-3
+    c.lr_schedule = False
+    state, history = train_lib.train(c, max_steps_per_epoch=6, epochs=3)
+    losses = [h["loss"] for h in history]
+    assert losses[-1] < losses[0]
