@@ -55,14 +55,16 @@ def main():
     clip_d = jax.device_put(clip)
     audio_d = jax.device_put(audio)
 
-    # warmup/compile
-    jax.block_until_ready(infer(variables, clip_d, audio_d))
+    # warmup/compile (twice: the tunneled backend can lazily re-specialize)
+    np.asarray(infer(variables, clip_d, audio_d))
+    np.asarray(infer(variables, clip_d, audio_d))
 
-    # block every step: the axon-tunneled dispatch queue makes trailing-only
-    # blocking report dispatch rate, not execution rate
+    # fetch the (tiny) output to host every step: on the axon-tunneled
+    # backend block_until_ready returns before execution finishes, so a D2H
+    # copy is the only reliable completion barrier
     t0 = time.perf_counter()
     for _ in range(steps):
-        jax.block_until_ready(infer(variables, clip_d, audio_d))
+        np.asarray(infer(variables, clip_d, audio_d))
     dt = time.perf_counter() - t0
 
     clips_per_sec = batch * steps / dt
