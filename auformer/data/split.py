@@ -132,4 +132,9 @@ def create_dataset_split(root: str, save_dir: str | None = None,
             with open(os.path.join(save_dir, f"split_dict_{task}.pkl"),
                       "wb") as f:
                 pickle.dump(out[task], f)
+            # test-split pickle consumed by Aff2TestDataset (the reference
+            # ships these as separate caches, testset.py:64)
+            with open(os.path.join(save_dir, f"split_dict_test_{task}.pkl"),
+                      "wb") as f:
+                pickle.dump(out[task], f)
     return out

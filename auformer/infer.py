@@ -1,0 +1,119 @@
+"""Inference + submission writers (reference test_aff2.py:46-119).
+
+The reference sweeps the test split at batch 1 because its per-video txt
+writer switches inline ("takes 5+ hours for test and val on 2080 Ti",
+test_aff2.py:82). TPU-first, frames are batched at a static batch size
+through one jitted forward and the per-video demux happens on host from the
+returned (B, 21) blocks — identical output files, orders of magnitude fewer
+device dispatches.
+"""
+from __future__ import annotations
+
+import os
+import pickle
+
+import jax
+import numpy as np
+
+from .core.config import Config
+from .data import DataLoader, SubsetSequentialSampler
+from .data.testset import Aff2TestDataset
+from .nn import build_model, init_model
+from .ops.preprocess import normalize_clip
+
+AU_HEADER = "AU1,AU2,AU4,AU6,AU7,AU10,AU12,AU15,AU23,AU24,AU25,AU26"
+VA_HEADER = "valence,arousal"
+EX_HEADER = "Neutral,Anger,Disgust,Fear,Happiness,Sadness,Surprise"
+
+
+def au_to_str(arr) -> str:
+    return ",".join(f"{int(v):d}" for v in arr)
+
+
+def ex_to_str(v) -> str:
+    return f"{int(v):d}"
+
+
+def va_to_str(v, a) -> str:
+    return f"{v:.3f},{a:.3f}"
+
+
+class SubmissionWriter:
+    """Per-video txt writers with task headers (test_aff2.py:87-115)."""
+
+    def __init__(self, result_path: str, task: str = "AU"):
+        self.dir = os.path.join(result_path, task.lower())
+        os.makedirs(self.dir, exist_ok=True)
+        self.task = task
+        self.header = {"AU": AU_HEADER, "VA": VA_HEADER,
+                       "EX": EX_HEADER}[task]
+        self._current = None
+        self._f = None
+
+    def write(self, video_id: str, line: str) -> None:
+        if video_id != self._current:
+            if self._f is not None:
+                self._f.close()
+            self._current = video_id
+            self._f = open(os.path.join(self.dir, video_id + ".txt"), "w")
+            self._f.write(self.header + "\n")
+        self._f.write(line + "\n")
+
+    def close(self) -> None:
+        if self._f is not None:
+            self._f.close()
+            self._f = None
+
+
+def make_infer_fn(cfg: Config, model):
+    @jax.jit
+    def infer(variables, x):
+        xx = dict(x)
+        if "clip" in xx and xx["clip"].dtype == np.uint8:
+            xx["clip"] = normalize_clip(xx["clip"])
+        out = model.apply(variables, xx, train=False)
+        return out.astype(np.float32)
+    return infer
+
+
+def run_inference(cfg: Config, variables, result_path: str = "results",
+                  dataset: Aff2TestDataset | None = None,
+                  batch_size: int | None = None,
+                  max_batches: int | None = None) -> np.ndarray:
+    """Sweep dataset.test_ids, write per-video AU txts + inference.pkl.
+
+    Returns the (len(dataset), 21) prediction matrix (the reference's
+    ``output`` tensor, test_aff2.py:79,117).
+    """
+    model = build_model(cfg)
+    dataset = dataset or Aff2TestDataset(cfg)
+    dataset.set_modes(list(model.modes))
+    batch_size = batch_size or max(cfg.batch_size, 1)
+
+    ids = np.nonzero(dataset.test_ids)[0]
+    loader = DataLoader(dataset, batch_size, SubsetSequentialSampler(ids),
+                        num_threads=cfg.host_threads, drop_last=False,
+                        prefetch_batches=cfg.prefetch_depth)
+    infer = make_infer_fn(cfg, model)
+
+    output = np.zeros((len(dataset), 21), np.float32)
+    au_writer = SubmissionWriter(result_path, "AU")
+    seen = 0
+    for bi, batch in enumerate(loader):
+        if max_batches is not None and bi >= max_batches:
+            break
+        x = {k: batch[k] for k in model.modes if k in batch}
+        result = np.asarray(infer(variables, x))
+        idxs = batch["Index"]
+        output[idxs, :] = result
+        pred_au = 1.0 / (1.0 + np.exp(-result[:, :12]))
+        round_au = np.round(pred_au).astype(int)
+        for row, vid in zip(round_au, batch["video_id"]):
+            au_writer.write(str(vid), au_to_str(row))
+        seen += len(idxs)
+    au_writer.close()
+
+    os.makedirs(result_path, exist_ok=True)
+    with open(os.path.join(result_path, "inference.pkl"), "wb") as f:
+        pickle.dump({"predictions": output}, f)
+    return output

@@ -1,0 +1,39 @@
+"""Inference entry point (reference test_aff2.py): loads the best avformer
+checkpoint, sweeps the test split, writes per-video AU submission txts and
+inference.pkl. Batched on TPU instead of the reference's batch-1 sweep.
+"""
+import os
+
+from auformer.core.checkpointing import load_checkpoint
+from auformer.core.config import parse_opt
+from auformer.infer import run_inference
+from auformer.nn import init_model
+
+MODEL_PATH = os.path.join("experiments", "avformer", "pretrain")
+RESULT_PATH = "results"
+
+
+def main():
+    cfg = parse_opt()
+    cfg.model_name = "avformer"
+    cfg.modality = "A;V"
+    cfg.task = "AU"
+    model, variables = init_model(cfg)
+    restored = load_checkpoint(MODEL_PATH, "best",
+                               target={"params": variables["params"],
+                                       "batch_stats": variables["batch_stats"]})
+    if restored is None:
+        restored = load_checkpoint(MODEL_PATH, "latest",
+                                   target={"params": variables["params"],
+                                           "batch_stats": variables["batch_stats"]})
+    if restored is not None:
+        variables = {"params": restored["params"],
+                     "batch_stats": restored["batch_stats"]}
+        print(f"Loading weight from: {MODEL_PATH}")
+    else:
+        print("WARNING: no checkpoint found, using random init")
+    run_inference(cfg, variables, result_path=RESULT_PATH)
+
+
+if __name__ == "__main__":
+    main()
