@@ -281,8 +281,8 @@ SUITES: dict[str, LossSuite] = {
     "dsformer": LossSuite(ex=ex_ce_loss, au=au_bce_loss, va_weight_v=1.0),
     # audio.py:53-56: weighted CE / DiceAULoss / CCC
     "audio": LossSuite(ex=_weighted_ce, au=dice_au_loss),
-    # van: CE / DiceAULoss / CCC
-    "van": LossSuite(ex=ex_ce_loss, au=dice_au_loss),
+    # van.py:351-355: CE / AULoss / CCC, VA 1:1 (:404-410)
+    "van": LossSuite(ex=ex_ce_loss, au=au_bce_loss, va_weight_v=1.0),
     "vggformer": LossSuite(ex=ex_ce_loss, au=au_bce_loss),
     "i3d": LossSuite(ex=ex_ce_loss, au=au_bce_loss),
     "mc3d": LossSuite(ex=ex_ce_loss, au=au_bce_loss),
@@ -290,6 +290,8 @@ SUITES: dict[str, LossSuite] = {
     "resnet": LossSuite(ex=ex_ce_loss,
                         au=lambda p, t: au_bce_loss(p, t, np.ones(12, np.float32)),
                         va_weight_v=1.0),
-    "emonet": LossSuite(ex=ex_ce_loss, au=au_bce_loss),
-    "tsav": LossSuite(ex=ex_ce_loss, au=au_bce_loss),
+    # emonet.py:228-230: CE / SmoothAULoss / CCC, VA 1:1 (:281-286)
+    "emonet": LossSuite(ex=ex_ce_loss, au=smooth_au_loss, va_weight_v=1.0),
+    # tsav.py:81-84: weighted CE intent / AULoss / CCC, VA 1:1 (:109-115)
+    "tsav": LossSuite(ex=_weighted_ce, au=au_bce_loss, va_weight_v=1.0),
 }

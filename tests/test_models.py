@@ -30,11 +30,28 @@ def run_forward(cfg, train=False):
     ("vformer", "V"),
     ("avformer", "A;V"),
     ("audio", "A"),
+    ("sformer", "V"),
+    ("tformer", "V"),
+    ("dsformer", "V;M"),
+    ("resnet", "V"),
+    ("van", "V"),
+    ("i3d", "V"),
+    ("mc3d", "V"),
+    ("vggformer", "V"),
+    ("emonet", "V"),
 ])
 def test_forward_shapes(name, modality):
     cfg = tiny_cfg(name, modality)
     _, _, out = run_forward(cfg)
     assert out.shape == (2, 21)
+    assert np.isfinite(out).all()
+
+
+def test_tsav_forward_22():
+    """tsav outputs 22 = 12 AU + 8 EX + 2 VA (tsav.py:71-74)."""
+    cfg = tiny_cfg("tsav", "A;V")
+    _, _, out = run_forward(cfg)
+    assert out.shape == (2, 22)
     assert np.isfinite(out).all()
 
 
