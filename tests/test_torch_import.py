@@ -1,0 +1,272 @@
+"""Checkpoint-converter parity tests.
+
+Golden values are computed functionally with torch.nn.functional from a
+random state dict in the reference's parameter naming; the converter maps it
+into auformer variables and the flax modules must reproduce the outputs.
+This validates layout transposes (OIHW->HWIO, linear transpose), BN
+semantics, the batched TokenProjection/TokenLogits folding, and the
+transformer block naming end to end (SURVEY.md §7.3-7).
+"""
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from auformer.core.torch_import import Converter, merge_into
+from auformer.nn.heads import AUFormerHead
+from auformer.nn.resnet import BasicBlock
+
+RS = np.random.RandomState(11)
+
+
+def t(*shape, scale=0.1):
+    return (RS.randn(*shape) * scale).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# golden: functional torch evaluation of reference-named state dicts
+# ---------------------------------------------------------------------------
+
+def golden_bn(x, sd, p, eps=1e-5):
+    return F.batch_norm(x, torch.from_numpy(sd[f"{p}.running_mean"]),
+                        torch.from_numpy(sd[f"{p}.running_var"]),
+                        torch.from_numpy(sd[f"{p}.weight"]),
+                        torch.from_numpy(sd[f"{p}.bias"]),
+                        training=False, eps=eps)
+
+
+def golden_attention(z, sd, p, heads=8, dim_head=32):
+    inner = heads * dim_head
+    qkv = z @ torch.from_numpy(sd[f"{p}.to_qkv.weight"]).T
+    q, k, v = qkv.chunk(3, dim=-1)
+    b, n, _ = z.shape
+
+    def split(u):
+        return u.reshape(b, n, heads, dim_head).permute(0, 2, 1, 3)
+
+    q, k, v = split(q), split(k), split(v)
+    dots = (q @ k.transpose(-1, -2)) * dim_head ** -0.5
+    attn = dots.softmax(dim=-1)
+    out = (attn @ v).permute(0, 2, 1, 3).reshape(b, n, inner)
+    return (out @ torch.from_numpy(sd[f"{p}.to_out.0.weight"]).T
+            + torch.from_numpy(sd[f"{p}.to_out.0.bias"]))
+
+
+def tanh_gelu_t(x):
+    return 0.5 * x * (1 + torch.tanh(
+        np.sqrt(2 / np.pi) * (x + 0.044715 * x ** 3)))
+
+
+def golden_transformer(z, sd, p, depth):
+    for i in range(depth):
+        a = f"{p}.layers.{i}.0.fn"
+        m = f"{p}.layers.{i}.1.fn"
+        h = F.layer_norm(z, (z.shape[-1],),
+                         torch.from_numpy(sd[f"{a}.norm.weight"]),
+                         torch.from_numpy(sd[f"{a}.norm.bias"]))
+        z = z + golden_attention(h, sd, f"{a}.fn")
+        h = F.layer_norm(z, (z.shape[-1],),
+                         torch.from_numpy(sd[f"{m}.norm.weight"]),
+                         torch.from_numpy(sd[f"{m}.norm.bias"]))
+        h = tanh_gelu_t(h @ torch.from_numpy(sd[f"{m}.fn.net.0.weight"]).T
+                        + torch.from_numpy(sd[f"{m}.fn.net.0.bias"]))
+        h = (h @ torch.from_numpy(sd[f"{m}.fn.net.3.weight"]).T
+             + torch.from_numpy(sd[f"{m}.fn.net.3.bias"]))
+        z = z + h
+    return z
+
+
+def make_transformer_sd(p, depth, dim, mlp_dim, inner=256):
+    sd = {}
+    for i in range(depth):
+        a = f"{p}.layers.{i}.0.fn"
+        m = f"{p}.layers.{i}.1.fn"
+        sd[f"{a}.norm.weight"] = t(dim) + 1
+        sd[f"{a}.norm.bias"] = t(dim)
+        sd[f"{a}.fn.to_qkv.weight"] = t(inner * 3, dim)
+        sd[f"{a}.fn.to_out.0.weight"] = t(dim, inner)
+        sd[f"{a}.fn.to_out.0.bias"] = t(dim)
+        sd[f"{m}.norm.weight"] = t(dim) + 1
+        sd[f"{m}.norm.bias"] = t(dim)
+        sd[f"{m}.fn.net.0.weight"] = t(mlp_dim, dim)
+        sd[f"{m}.fn.net.0.bias"] = t(mlp_dim)
+        sd[f"{m}.fn.net.3.weight"] = t(dim, mlp_dim)
+        sd[f"{m}.fn.net.3.bias"] = t(dim)
+    return sd
+
+
+def make_au_former_sd(p="head"):
+    sd = {f"{p}.AU_BN1.weight": t(512) + 1,
+          f"{p}.AU_BN1.bias": t(512),
+          f"{p}.AU_BN1.running_mean": t(512),
+          f"{p}.AU_BN1.running_var": np.abs(t(512)) + 1,
+          f"{p}.pos_embedding": t(1, 12, 128)}
+    for i in range(1, 13):
+        sd[f"{p}.AU_linear_p{i}.weight"] = t(128, 512)
+        sd[f"{p}.AU_linear_p{i}.bias"] = t(128)
+        sd[f"{p}.AU_linear_last{i}.weight"] = t(1, 128)
+    sd.update(make_transformer_sd(f"{p}.corr_transformer", 2, 128, 256))
+    return sd
+
+
+def golden_au_former(x, sd, p="head"):
+    h = golden_bn(torch.from_numpy(x), sd, f"{p}.AU_BN1")
+    tokens = torch.stack(
+        [h @ torch.from_numpy(sd[f"{p}.AU_linear_p{i}.weight"]).T
+         + torch.from_numpy(sd[f"{p}.AU_linear_p{i}.bias"])
+         for i in range(1, 13)], dim=1)
+    z = tokens + torch.from_numpy(sd[f"{p}.pos_embedding"])[:, :12]
+    z = golden_transformer(z, sd, f"{p}.corr_transformer", 2)
+    logits = torch.cat(
+        [z[:, i - 1] @ torch.from_numpy(sd[f"{p}.AU_linear_last{i}.weight"]).T
+         for i in range(1, 13)], dim=1)
+    return logits.numpy(), z.numpy()
+
+
+def test_au_former_conversion_parity():
+    sd = make_au_former_sd()
+    c = Converter(sd)
+    c.au_former("head", "head")
+    conv = c.result()
+    assert not c.missing
+
+    head = AUFormerHead()
+    x = t(4, 512, scale=1.0)
+    import jax
+    variables = head.init(jax.random.PRNGKey(0), x, train=False)
+    merged = merge_into(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        {"params": conv["params"]["head"],
+         "batch_stats": conv["batch_stats"]["head"]})
+    logits, tokens = head.apply(
+        {"params": merged["params"], "batch_stats": merged["batch_stats"]},
+        x, train=False)
+    g_logits, g_tokens = golden_au_former(x, sd)
+    np.testing.assert_allclose(np.asarray(logits), g_logits,
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(tokens), g_tokens,
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_basic_block_conversion_parity():
+    """Conv OIHW->HWIO + BN eval semantics through a residual block."""
+    sd = {"blk.conv1.weight": t(16, 8, 3, 3),
+          "blk.bn1.weight": t(16) + 1, "blk.bn1.bias": t(16),
+          "blk.bn1.running_mean": t(16),
+          "blk.bn1.running_var": np.abs(t(16)) + 1,
+          "blk.conv2.weight": t(16, 16, 3, 3),
+          "blk.bn2.weight": t(16) + 1, "blk.bn2.bias": t(16),
+          "blk.bn2.running_mean": t(16),
+          "blk.bn2.running_var": np.abs(t(16)) + 1,
+          "blk.downsample.0.weight": t(16, 8, 1, 1),
+          "blk.downsample.1.weight": t(16) + 1,
+          "blk.downsample.1.bias": t(16),
+          "blk.downsample.1.running_mean": t(16),
+          "blk.downsample.1.running_var": np.abs(t(16)) + 1}
+    c = Converter(sd)
+    c.resnet_block("blk", "blk")
+    conv = c.result()
+
+    x = t(2, 8, 10, 10, scale=1.0)  # NCHW for torch
+    xt = torch.from_numpy(x)
+    h = F.conv2d(xt, torch.from_numpy(sd["blk.conv1.weight"]), stride=2,
+                 padding=1)
+    h = F.relu(golden_bn(h, sd, "blk.bn1"))
+    h = F.conv2d(h, torch.from_numpy(sd["blk.conv2.weight"]), padding=1)
+    h = golden_bn(h, sd, "blk.bn2")
+    idn = F.conv2d(xt, torch.from_numpy(sd["blk.downsample.0.weight"]),
+                   stride=2)
+    idn = golden_bn(idn, sd, "blk.downsample.1")
+    golden = F.relu(h + idn).numpy()
+
+    import jax
+    blk = BasicBlock(planes=16, stride=2, downsample=True)
+    x_nhwc = np.transpose(x, (0, 2, 3, 1))
+    variables = blk.init(jax.random.PRNGKey(0), x_nhwc, train=False)
+    merged = merge_into(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        {"params": conv["params"]["blk"],
+         "batch_stats": conv["batch_stats"]["blk"]})
+    out = blk.apply({"params": merged["params"],
+                     "batch_stats": merged["batch_stats"]},
+                    x_nhwc, train=False)
+    np.testing.assert_allclose(np.transpose(np.asarray(out), (0, 3, 1, 2)),
+                               golden, rtol=1e-4, atol=1e-5)
+
+
+def test_avformer_converter_covers_checkpoint():
+    """A full synthetic avformer state dict converts with no missing keys
+    for every mapped subtree, and merge_into produces arrays with the same
+    shapes as a fresh init."""
+    from auformer.core.config import Config
+    from auformer.core.torch_import import convert_avformer
+    from auformer.nn import init_model
+
+    sd = {}
+    # audio resnet18 (1-channel conv1)
+    def add_resnet18(p, in_ch):
+        sd[f"{p}.conv1.weight"] = t(64, in_ch, 7, 7)
+        for n, ch in [("bn1", 64)]:
+            sd[f"{p}.{n}.weight"] = t(ch) + 1
+            sd[f"{p}.{n}.bias"] = t(ch)
+            sd[f"{p}.{n}.running_mean"] = t(ch)
+            sd[f"{p}.{n}.running_var"] = np.abs(t(ch)) + 1
+        chans = [64, 64, 128, 256, 512]
+        for li in range(1, 5):
+            cin, cout = chans[li - 1], chans[li]
+            for bi in range(2):
+                bp = f"{p}.layer{li}.{bi}"
+                c1_in = cin if bi == 0 else cout
+                sd[f"{bp}.conv1.weight"] = t(cout, c1_in, 3, 3)
+                sd[f"{bp}.conv2.weight"] = t(cout, cout, 3, 3)
+                for bn in ("bn1", "bn2"):
+                    sd[f"{bp}.{bn}.weight"] = t(cout) + 1
+                    sd[f"{bp}.{bn}.bias"] = t(cout)
+                    sd[f"{bp}.{bn}.running_mean"] = t(cout)
+                    sd[f"{bp}.{bn}.running_var"] = np.abs(t(cout)) + 1
+                if bi == 0 and cin != cout:
+                    sd[f"{bp}.downsample.0.weight"] = t(cout, cin, 1, 1)
+                    sd[f"{bp}.downsample.1.weight"] = t(cout) + 1
+                    sd[f"{bp}.downsample.1.bias"] = t(cout)
+                    sd[f"{bp}.downsample.1.running_mean"] = t(cout)
+                    sd[f"{bp}.downsample.1.running_var"] = np.abs(t(cout)) + 1
+
+    add_resnet18("audio_model.audio_model.resnet", 1)
+    add_resnet18("video_model.video_model.s_former", 3)
+    sd["video_model.video_model.s_former.pos_embedding"] = t(1, 49, 256)
+    sd.update(make_transformer_sd(
+        "video_model.video_model.s_former.spatial_transformer", 1, 256, 512))
+    sd["video_model.video_model.t_former.cls_token"] = t(1, 1, 512)
+    sd["video_model.video_model.t_former.pos_embedding"] = t(1, 17, 512)
+    sd.update(make_transformer_sd(
+        "video_model.video_model.t_former.spatial_transformer", 3, 512, 1024,
+        inner=512))
+    sd.update(make_au_former_sd("audio_model.au_head"))
+    sd.update(make_au_former_sd("video_model.au_head"))
+    sd["au_head.pos_embedding"] = t(1, 12, 256)
+    sd.update(make_transformer_sd("au_head.corr_transformer", 3, 256, 256))
+    for i in range(1, 13):
+        sd[f"au_head.AU_linear_last{i}.weight"] = t(1, 256)
+
+    converted = convert_avformer(sd)
+
+    # n_frames=16 so the t_former pos-embedding (1,17,512) matches the
+    # checkpoint buffer (the reference slices pos[:, :n+1] at runtime)
+    cfg = Config(model_name="avformer", modality="A;V", task="AU",
+                 n_frames=16, image_size=32, compute_dtype="float32",
+                 use_pallas=False)
+    model, variables = init_model(cfg)
+    merged = merge_into(
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"]}, converted)
+
+    import jax
+    init_shapes = jax.tree_util.tree_map(np.shape, variables["params"])
+    merged_shapes = jax.tree_util.tree_map(np.shape, merged["params"])
+    assert init_shapes == merged_shapes
+    # converted arrays actually landed (not left at init)
+    qkv = merged["params"]["au_head"]["corr_transformer"]["layers_0"][
+        "attn"]["to_qkv"]["kernel"]
+    np.testing.assert_allclose(
+        np.asarray(qkv),
+        sd["au_head.corr_transformer.layers.0.0.fn.fn.to_qkv.weight"].T)
