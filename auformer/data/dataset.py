@@ -64,6 +64,25 @@ class Aff2CompDataset:
         self.env_ex = FrameStore(os.path.join(label_dir, STORE_EX))
         self.env_va = FrameStore(os.path.join(label_dir, STORE_VA))
 
+        # native C++ reader (mmap + off-GIL batched libjpeg decode); pure
+        # Python path is the fallback (data/native)
+        self.native_image = self.native_mask = None
+        try:
+            from .native import NativeFrameStore, available
+            # strict_parity pins decode to cv2 (bundled libjpeg-turbo);
+            # system libjpeg may differ by +-1 LSB in the IDCT
+            if available() and not cfg.strict_parity:
+                if self.env_image is not None:
+                    self.native_image = NativeFrameStore(
+                        os.path.join(label_dir, STORE_IMAGES),
+                        n_threads=cfg.host_threads)
+                if self.env_mask is not None:
+                    self.native_mask = NativeFrameStore(
+                        os.path.join(label_dir, STORE_MASKS),
+                        n_threads=cfg.host_threads)
+        except Exception:
+            pass
+
         v2o = os.path.join(cfg.root, "video2orignal.pkl")
         if os.path.isfile(v2o):
             with open(v2o, "rb") as f:
@@ -155,24 +174,61 @@ class Aff2CompDataset:
         raise ValueError(task)
 
     # -- clip assembly (aff2compdataset.py:114-175) ---------------------------
-    def get_clip(self, index: int) -> np.ndarray:
-        channels = 4 if self.use_mask else 3
-        clip = np.zeros((self.clip_len, *self.input_size, channels), np.uint8)
+    def _clip_keys(self, index: int) -> list[str | None]:
+        """Store keys of the dilated window ending at ``index``; None where
+        the frame stays black (out of range / different video)."""
         video_db_nr = self.video_db_nr[index]
         lo = index - self.label_frame + self.dilation
         hi = index - self.label_frame + self.dilation * (self.clip_len + 1)
-        for clip_i, all_i in enumerate(range(lo, hi, self.dilation)):
+        keys: list[str | None] = []
+        for all_i in range(lo, hi, self.dilation):
             if (all_i < 0 or all_i >= len(self)
                     or self.video_db_nr[all_i] != video_db_nr):
+                keys.append(None)
+            else:
+                keys.append(self._store_key(self.image_path[all_i]))
+        return keys
+
+    def get_clip(self, index: int) -> np.ndarray:
+        channels = 4 if self.use_mask else 3
+        h, w = self.input_size
+        clip = np.zeros((self.clip_len, h, w, channels), np.uint8)
+        keys = self._clip_keys(index)
+
+        if self.native_image is not None:
+            frames, ok = self.native_image.decode_batch(keys, h, w, 3)
+            clip[:, :, :, 0:3] = frames
+            if self.use_mask and self.native_mask is not None:
+                masks, _ = self.native_mask.decode_batch(keys, h, w, 1)
+                clip[:, :, :, 3] = masks[:, :, :, 0]
+            return clip
+
+        for clip_i, key in enumerate(keys):
+            if key is None:
                 continue  # black frame (different video / out of range)
-            img = self.get_image(self.image_path[all_i])
+            img = self._get_image_by_key(key)
             if img is not None and img.shape[:2] == self.input_size:
                 clip[clip_i, :, :, 0:3] = img
             if self.use_mask:
-                m = self.get_mask(self.image_path[all_i])
+                m = self._get_mask_by_key(key)
                 if m is not None and m.shape[:2] == self.input_size:
                     clip[clip_i, :, :, 3] = m
         return clip
+
+    def _get_image_by_key(self, key: str) -> np.ndarray | None:
+        if self.env_image is None:
+            p = os.path.join(self.extracted_dir, key)
+            img = cv2.imread(p, cv2.IMREAD_COLOR)
+            return (cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+                    if img is not None else None)
+        buf = self.env_image.get(key)
+        return decode_jpeg(buf) if buf is not None else None
+
+    def _get_mask_by_key(self, key: str) -> np.ndarray | None:
+        if self.env_mask is None:
+            return None
+        buf = self.env_mask.get(key)
+        return decode_gray(buf) if buf is not None else None
 
     # -- audio (aff2compdataset.py:214-247) -----------------------------------
     def get_audio_feature(self, video_id: str, index: int):

@@ -44,6 +44,20 @@ class Aff2TestDataset(Aff2CompDataset):
         if aligned_img is not None:
             self.env_image = aligned_img
             self.env_mask = aligned_mask
+            # rebind the native reader to the aligned stores
+            self.native_image = self.native_mask = None
+            try:
+                from .native import NativeFrameStore, available
+                if available():
+                    self.native_image = NativeFrameStore(
+                        os.path.join(label_dir, STORE_ALIGNED_IMAGES),
+                        n_threads=cfg.host_threads)
+                    if aligned_mask is not None:
+                        self.native_mask = NativeFrameStore(
+                            os.path.join(label_dir, STORE_ALIGNED_MASKS),
+                            n_threads=cfg.host_threads)
+            except Exception:
+                pass
 
         test_cache = os.path.join(cfg.cache_dir,
                                   f"split_dict_test_{self.task}.pkl")
