@@ -70,7 +70,13 @@ def pallas_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     """(B, H, N, D) -> (B, H, N, D); N, D small enough for whole-row VMEM."""
     b, h, n, d = q.shape
     bh = b * h
-    g = min(block_rows, bh)
+    # cap the rows/program so 4 double-buffered (g, n_pad, 128-lane) VMEM
+    # buffers stay under ~12 MB (Mosaic pads d up to the 128-lane tile)
+    n_pad = -(-n // 8) * 8
+    d_pad = max(-(-d // 128) * 128, 128)
+    per_row = 4 * n_pad * d_pad * 4 * 2  # q,k,v,o x f32 x double-buffer
+    vmem_cap = max(int(12e6 / max(per_row, 1)), 1)
+    g = min(block_rows, bh, vmem_cap)
     while bh % g:
         g -= 1
     qf = q.reshape(bh, n, d)
