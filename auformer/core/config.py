@@ -63,6 +63,7 @@ class Config:
     eval_batch_mult: int = 4              # val batch = batch_size * this (train.py:251)
     log_every: int = 50
     strict_parity: bool = False           # f32 everywhere for bit-faithful checks
+    profile_dir: str = ""                 # jax.profiler trace dir ("" = off)
 
     # -- derived / runtime -----------------------------------------------------
     checkpoint_path: str = ""
@@ -176,6 +177,7 @@ def build_parser() -> argparse.ArgumentParser:
     tpu.add_argument("--host_threads", type=int, default=4)
     tpu.add_argument("--prefetch_depth", type=int, default=2)
     tpu.add_argument("--strict_parity", action="store_true")
+    tpu.add_argument("--profile_dir", type=str, default="")
     return p
 
 

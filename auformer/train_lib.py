@@ -20,6 +20,7 @@ import numpy as np
 
 from .core.checkpointing import EarlyStopper, load_checkpoint, save_checkpoint
 from .core.config import Config
+from .core.observability import RecorderMeter, StepTimer
 from .core.mesh import make_mesh, shard_batch
 from .core.prng import key_seq, setup_seed
 from .data import (Aff2CompDataset, DataLoader, Prefetcher,
@@ -123,6 +124,7 @@ def train(cfg: Config, dataset=None, max_steps_per_epoch: int | None = None,
 
     epochs = epochs if epochs is not None else cfg.epochs
     history = []
+    recorder = RecorderMeter(max(epochs, 1))
     for epoch in range(start_epoch, epochs):
         np.random.shuffle(downsample)
         dataset.set_aug(True)
@@ -136,19 +138,35 @@ def train(cfg: Config, dataset=None, max_steps_per_epoch: int | None = None,
         prefetch = Prefetcher(loader, depth=cfg.prefetch_depth)
         step_i = 0
         t_epoch = time.time()
+        timer = StepTimer()
+        tracing = False
         while (batch := prefetch.next()) is not None:
             if max_steps_per_epoch and step_i >= max_steps_per_epoch:
                 break
+            timer.mark_data()
+            if cfg.profile_dir and epoch == start_epoch:
+                if step_i == 10 and not tracing:
+                    jax.profiler.start_trace(cfg.profile_dir)
+                    tracing = True
+                elif step_i == 15 and tracing:
+                    jax.profiler.stop_trace()
+                    tracing = False
             dev_batch = shard_batch(mesh, batch)
             state, metrics = train_step(state, dev_batch, keys())
             meters["loss"].update(float(metrics["loss"]))
+            timer.mark_step()
             for k in ("ex", "au", "va"):
                 if k in metrics:
                     meters[k].update(float(metrics[k]))
             step_i += 1
             if step_i % cfg.log_every == 0:
-                logging.info(f"epoch {epoch} step {step_i} "
-                             f"loss {meters['loss'].avg:.4f}")
+                logging.info(
+                    f"epoch {epoch} step {step_i} "
+                    f"loss {meters['loss'].avg:.4f} "
+                    f"data {timer.data_time * 1e3:.1f}ms "
+                    f"step {timer.step_time * 1e3:.1f}ms")
+        if tracing:
+            jax.profiler.stop_trace()
         dt = time.time() - t_epoch
         logging.info(
             f"Total Loss,{meters['loss'].avg}, Ex:{meters['ex'].avg}, "
@@ -180,10 +198,17 @@ def train(cfg: Config, dataset=None, max_steps_per_epoch: int | None = None,
         history.append({"epoch": epoch, "score": total_score,
                         "loss": meters["loss"].avg, "scores": scores})
 
+        recorder.update(epoch, meters["loss"].avg, 0.0,
+                        scores.get("loss", 0.0), total_score * 100)
         if not stopper.is_continuable(
                 {"params": jax.device_get(state.params),
                  "batch_stats": jax.device_get(state.batch_stats)},
                 total_score):
             logging.info(f"validation: best score: {stopper.best_accuracy}")
             break
+    recorder.save_json(os.path.join(cfg.exp_dir, "curves.json"))
+    try:
+        recorder.plot_curve(os.path.join(cfg.exp_dir, "curves.png"))
+    except Exception:
+        pass  # headless/matplotlib issues never kill training
     return state, history
