@@ -70,3 +70,14 @@ def shard_batch(mesh: Mesh, batch):
 
 def pad_to_multiple(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
+
+
+def maybe_init_distributed() -> bool:
+    """Multi-host DCN init (SURVEY.md §2.2 table: jax.distributed over DCN;
+    ICI handles the in-slice axis). Reads the standard JAX_COORDINATOR_*
+    env configuration; no-op single-host otherwise."""
+    import os
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+        return True
+    return False
