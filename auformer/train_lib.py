@@ -105,6 +105,16 @@ def train(cfg: Config, dataset=None, max_steps_per_epoch: int | None = None,
         restored = load_checkpoint(cfg.checkpoint_path, "latest",
                                    target={"params": variables["params"],
                                            "batch_stats": variables["batch_stats"]})
+        pth = os.path.join(cfg.checkpoint_path, "latest.pth")
+        if restored is None and os.path.isfile(pth):
+            # reference-format torch checkpoint (train.py:323-326)
+            from .core.torch_import import (convert_checkpoint,
+                                            load_torch_state_dict, merge_into)
+            restored = merge_into(
+                {"params": variables["params"],
+                 "batch_stats": variables["batch_stats"]},
+                convert_checkpoint(cfg.model_name,
+                                   load_torch_state_dict(pth)))
         if restored is not None:
             variables = dict(variables)
             variables["params"] = restored["params"]

@@ -19,13 +19,24 @@ def main():
     cfg.modality = "A;V"
     cfg.task = "AU"
     model, variables = init_model(cfg)
-    restored = load_checkpoint(MODEL_PATH, "best",
-                               target={"params": variables["params"],
-                                       "batch_stats": variables["batch_stats"]})
+    target = {"params": variables["params"],
+              "batch_stats": variables["batch_stats"]}
+    restored = load_checkpoint(MODEL_PATH, "best", target=target)
     if restored is None:
-        restored = load_checkpoint(MODEL_PATH, "latest",
-                                   target={"params": variables["params"],
-                                           "batch_stats": variables["batch_stats"]})
+        restored = load_checkpoint(MODEL_PATH, "latest", target=target)
+    if restored is None:
+        # reference-format .pth (e.g. the shipped best523.pth,
+        # test_aff2.py:18,62) via the converter
+        import glob
+        for pth in sorted(glob.glob(os.path.join(MODEL_PATH, "*.pth"))):
+            from auformer.core.torch_import import (convert_checkpoint,
+                                                    load_torch_state_dict,
+                                                    merge_into)
+            restored = merge_into(
+                target, convert_checkpoint(
+                    "avformer", load_torch_state_dict(pth)))
+            print(f"converted torch checkpoint: {pth}")
+            break
     if restored is not None:
         variables = {"params": restored["params"],
                      "batch_stats": restored["batch_stats"]}
