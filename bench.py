@@ -57,9 +57,11 @@ def main():
     @jax.jit
     def run(variables, clip_u8, audio_raw, n):
         def body(i, acc):
-            # perturb one pixel per iteration so XLA cannot hoist the body
+            # perturb both inputs per iteration so XLA cannot hoist any
+            # loop-invariant branch (clip path OR the audio frontend)
             c = clip_u8.at[0, 0, 0, 0, 0].set((i % 255).astype(jnp.uint8))
-            return acc + one_step(variables, c, audio_raw)
+            a = audio_raw.at[0, 0].set(i.astype(jnp.float32) * 1e-6)
+            return acc + one_step(variables, c, a)
         return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
     rs = np.random.RandomState(0)
