@@ -74,6 +74,11 @@ def evaluate(cfg: Config, model, suite, eval_step, state: TrainState,
                          batch["VA"].astype(np.float32))
         metric_au.update(np.round(1.0 / (1.0 + np.exp(-out[:, :12]))),
                          batch["AU"].astype(np.float32))
+    if steps == 0:  # empty/short val split (drop_last can consume it all)
+        zero = {"acc": 0.0, "f1": 0.0, "score": 0.0}
+        return {"EX": dict(zero), "AU": dict(zero),
+                "VA": {"ccc_v": 0.0, "ccc_a": 0.0, "score": 0.0},
+                "loss": 0.0}
     scores = composite_scores(metric_ex, metric_au, metric_va)
     scores["loss"] = total_loss / max(steps, 1)
     return scores
