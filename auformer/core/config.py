@@ -64,6 +64,7 @@ class Config:
     log_every: int = 50
     strict_parity: bool = False           # f32 everywhere for bit-faithful checks
     profile_dir: str = ""                 # jax.profiler trace dir ("" = off)
+    device_augment: bool = False          # AutoAugment on device (XLA) instead of host PIL
 
     # -- derived / runtime -----------------------------------------------------
     checkpoint_path: str = ""
@@ -178,6 +179,7 @@ def build_parser() -> argparse.ArgumentParser:
     tpu.add_argument("--prefetch_depth", type=int, default=2)
     tpu.add_argument("--strict_parity", action="store_true")
     tpu.add_argument("--profile_dir", type=str, default="")
+    tpu.add_argument("--device_augment", action="store_true")
     return p
 
 

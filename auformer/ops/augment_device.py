@@ -310,3 +310,10 @@ def imagenet_policy_device(clip: jax.Array, rng: jax.Array) -> jax.Array:
     branches = [make_branch(p) for p in IMAGENET_POLICIES]
     idx = jax.random.randint(k_policy, (), 0, len(branches))
     return jax.lax.switch(idx, branches, clip)
+
+
+def augment_clips_device(clips: jax.Array, rng: jax.Array) -> jax.Array:
+    """Batch entry: (B, T, H, W, 3) uint8 -> augmented, one policy draw per
+    clip (the train-time aug path when Config.device_augment is set)."""
+    keys = jax.random.split(rng, clips.shape[0])
+    return jax.vmap(imagenet_policy_device)(clips, keys)

@@ -102,12 +102,18 @@ def create_train_state(cfg: Config, model, variables) -> TrainState:
                       opt_state=tx.init(variables["params"]), tx=tx)
 
 
-def prep_batch(batch: dict, train: bool, flip_rng=None) -> dict:
-    """Device-side preprocessing: uint8 clip -> normalized float; optional
-    train-time whole-clip flip (eval path never flips)."""
+def prep_batch(batch: dict, train: bool, flip_rng=None,
+               device_augment: bool = False, aug_rng=None) -> dict:
+    """Device-side preprocessing: optional on-device AutoAugment (uint8
+    domain), then /255+normalize; optional train-time whole-clip flip (eval
+    never augments)."""
     x = dict(batch)
     clip = x.get("clip")
     if clip is not None and clip.dtype == jnp.uint8:
+        if train and device_augment and aug_rng is not None \
+                and clip.shape[-1] == 3:
+            from ..ops.augment_device import augment_clips_device
+            clip = augment_clips_device(clip, aug_rng)
         clip = normalize_clip(clip)
         if train and flip_rng is not None:
             clip = random_flip_clips(clip, flip_rng)
@@ -147,8 +153,9 @@ def make_train_step(cfg: Config, model, suite: LossSuite,
     task = cfg.task
 
     def step(state: TrainState, batch: dict, rng: jax.Array):
-        flip_rng, drop_rng = jax.random.split(rng)
-        x = prep_batch(batch, train=True, flip_rng=flip_rng)
+        flip_rng, drop_rng, aug_rng = jax.random.split(rng, 3)
+        x = prep_batch(batch, train=True, flip_rng=flip_rng,
+                       device_augment=cfg.device_augment, aug_rng=aug_rng)
         labels = _labels_of(batch)
         modes = set(getattr(model, "modes", x.keys()))
         x = {k: v for k, v in x.items() if k in modes}

@@ -142,7 +142,8 @@ def train(cfg: Config, dataset=None, max_steps_per_epoch: int | None = None,
     recorder = RecorderMeter(max(epochs, 1))
     for epoch in range(start_epoch, epochs):
         np.random.shuffle(downsample)
-        dataset.set_aug(True)
+        # host PIL augmentation unless the on-device XLA path is selected
+        dataset.set_aug(not cfg.device_augment)
         train_ids = np.nonzero(dataset.train_ids * downsample)[0]
         loader = DataLoader(dataset, cfg.batch_size,
                             SubsetSequentialSampler(train_ids, shuffle=True),
