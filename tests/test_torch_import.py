@@ -270,3 +270,40 @@ def test_avformer_converter_covers_checkpoint():
     np.testing.assert_allclose(
         np.asarray(qkv),
         sd["au_head.corr_transformer.layers.0.0.fn.fn.to_qkv.weight"].T)
+
+
+def test_stem_parity():
+    """conv7x7 s2 p3 + BN + relu + maxpool3x3 s2 p1 vs torch functional
+    (the geometry-critical part of every resnet trunk)."""
+    import jax
+    from auformer.nn.resnet import ResNetStem
+
+    sd = {"stem.conv1.weight": t(64, 3, 7, 7),
+          "stem.bn1.weight": t(64) + 1, "stem.bn1.bias": t(64),
+          "stem.bn1.running_mean": t(64),
+          "stem.bn1.running_var": np.abs(t(64)) + 1}
+    c = Converter(sd)
+    c.conv2d("stem.conv1", "stem/conv1")
+    c.batchnorm("stem.bn1", "stem/bn1/bn")
+    conv = c.result()
+
+    x = t(2, 3, 33, 33, scale=1.0)  # odd size exercises pool padding
+    xt = torch.from_numpy(x)
+    h = F.conv2d(xt, torch.from_numpy(sd["stem.conv1.weight"]), stride=2,
+                 padding=3)
+    h = F.relu(golden_bn(h, sd, "stem.bn1"))
+    golden = F.max_pool2d(h, 3, stride=2, padding=1).numpy()
+
+    stem = ResNetStem()
+    x_nhwc = np.transpose(x, (0, 2, 3, 1))
+    variables = stem.init(jax.random.PRNGKey(0), x_nhwc, train=False)
+    merged = merge_into(
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"]},
+        {"params": conv["params"]["stem"],
+         "batch_stats": conv["batch_stats"]["stem"]})
+    out = stem.apply({"params": merged["params"],
+                      "batch_stats": merged["batch_stats"]},
+                     x_nhwc, train=False)
+    np.testing.assert_allclose(np.transpose(np.asarray(out), (0, 3, 1, 2)),
+                               golden, rtol=1e-4, atol=1e-5)
