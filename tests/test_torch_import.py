@@ -194,14 +194,10 @@ def test_basic_block_conversion_parity():
                                golden, rtol=1e-4, atol=1e-5)
 
 
-def test_avformer_converter_covers_checkpoint():
-    """A full synthetic avformer state dict converts with no missing keys
-    for every mapped subtree, and merge_into produces arrays with the same
-    shapes as a fresh init."""
-    from auformer.core.config import Config
-    from auformer.core.torch_import import convert_avformer
-    from auformer.nn import init_model
-
+@pytest.fixture(scope="module")
+def synthetic_avformer_sd():
+    """Random state dict with the exact reference avformer parameter naming
+    and shapes (best523.pth layout)."""
     sd = {}
     # audio resnet18 (1-channel conv1)
     def add_resnet18(p, in_ch):
@@ -247,7 +243,17 @@ def test_avformer_converter_covers_checkpoint():
     sd.update(make_transformer_sd("au_head.corr_transformer", 3, 256, 256))
     for i in range(1, 13):
         sd[f"au_head.AU_linear_last{i}.weight"] = t(1, 256)
+    return sd
 
+
+def test_avformer_converter_covers_checkpoint(synthetic_avformer_sd):
+    """The synthetic avformer state dict converts with merge shapes equal
+    to a fresh init, and the tensors actually land."""
+    from auformer.core.config import Config
+    from auformer.core.torch_import import convert_avformer
+    from auformer.nn import init_model
+
+    sd = synthetic_avformer_sd
     converted = convert_avformer(sd)
 
     # n_frames=16 so the t_former pos-embedding (1,17,512) matches the
@@ -307,3 +313,157 @@ def test_stem_parity():
                      x_nhwc, train=False)
     np.testing.assert_allclose(np.transpose(np.asarray(out), (0, 3, 1, 2)),
                                golden, rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# full avformer forward parity (the BASELINE "bit-faithful logits" check on
+# synthetic weights)
+# ---------------------------------------------------------------------------
+
+def golden_attention_hd(z, sd, p, heads, dim_head):
+    inner = heads * dim_head
+    qkv = z @ torch.from_numpy(sd[f"{p}.to_qkv.weight"]).T
+    q, k, v = qkv.chunk(3, dim=-1)
+    b, n, _ = z.shape
+
+    def split(u):
+        return u.reshape(b, n, heads, dim_head).permute(0, 2, 1, 3)
+
+    q, k, v = split(q), split(k), split(v)
+    dots = (q @ k.transpose(-1, -2)) * dim_head ** -0.5
+    attn = dots.softmax(dim=-1)
+    out = (attn @ v).permute(0, 2, 1, 3).reshape(b, n, inner)
+    return (out @ torch.from_numpy(sd[f"{p}.to_out.0.weight"]).T
+            + torch.from_numpy(sd[f"{p}.to_out.0.bias"]))
+
+
+def golden_transformer_hd(z, sd, p, depth, heads=8, dim_head=32):
+    for i in range(depth):
+        a = f"{p}.layers.{i}.0.fn"
+        m = f"{p}.layers.{i}.1.fn"
+        h = F.layer_norm(z, (z.shape[-1],),
+                         torch.from_numpy(sd[f"{a}.norm.weight"]),
+                         torch.from_numpy(sd[f"{a}.norm.bias"]))
+        z = z + golden_attention_hd(h, sd, f"{a}.fn", heads, dim_head)
+        h = F.layer_norm(z, (z.shape[-1],),
+                         torch.from_numpy(sd[f"{m}.norm.weight"]),
+                         torch.from_numpy(sd[f"{m}.norm.bias"]))
+        h = tanh_gelu_t(h @ torch.from_numpy(sd[f"{m}.fn.net.0.weight"]).T
+                        + torch.from_numpy(sd[f"{m}.fn.net.0.bias"]))
+        h = (h @ torch.from_numpy(sd[f"{m}.fn.net.3.weight"]).T
+             + torch.from_numpy(sd[f"{m}.fn.net.3.bias"]))
+        z = z + h
+    return z
+
+
+def golden_block(h, sd, p, stride):
+    idn = h
+    o = F.conv2d(h, torch.from_numpy(sd[f"{p}.conv1.weight"]),
+                 stride=stride, padding=1)
+    o = F.relu(golden_bn(o, sd, f"{p}.bn1"))
+    o = F.conv2d(o, torch.from_numpy(sd[f"{p}.conv2.weight"]), padding=1)
+    o = golden_bn(o, sd, f"{p}.bn2")
+    if f"{p}.downsample.0.weight" in sd:
+        idn = F.conv2d(h, torch.from_numpy(sd[f"{p}.downsample.0.weight"]),
+                       stride=stride)
+        idn = golden_bn(idn, sd, f"{p}.downsample.1")
+    return F.relu(o + idn)
+
+
+def golden_resnet18_trunk(x, sd, p):
+    h = F.conv2d(x, torch.from_numpy(sd[f"{p}.conv1.weight"]), stride=2,
+                 padding=3)
+    h = F.relu(golden_bn(h, sd, f"{p}.bn1"))
+    h = F.max_pool2d(h, 3, stride=2, padding=1)
+    for li, stride in [(1, 1), (2, 2), (3, 2), (4, 2)]:
+        for bi in range(2):
+            h = golden_block(h, sd, f"{p}.layer{li}.{bi}",
+                             stride if bi == 0 else 1)
+    return h
+
+
+def golden_resformer(x, sd, p):
+    """ResFormer (vformer.py:232-268): trunk to layer3, 49-token spatial
+    transformer, layer4, pool."""
+    h = F.conv2d(x, torch.from_numpy(sd[f"{p}.conv1.weight"]), stride=2,
+                 padding=3)
+    h = F.relu(golden_bn(h, sd, f"{p}.bn1"))
+    h = F.max_pool2d(h, 3, stride=2, padding=1)
+    for li, stride in [(1, 1), (2, 2), (3, 2)]:
+        for bi in range(2):
+            h = golden_block(h, sd, f"{p}.layer{li}.{bi}",
+                             stride if bi == 0 else 1)
+    b, c, hh, ww = h.shape
+    tokens = h.reshape(b, c, hh * ww).permute(0, 2, 1)
+    tokens = tokens + torch.from_numpy(sd[f"{p}.pos_embedding"])[:, :hh * ww]
+    tokens = golden_transformer_hd(tokens, sd, f"{p}.spatial_transformer",
+                                   1, 8, 32)
+    h = tokens.permute(0, 2, 1).reshape(b, c, hh, ww)
+    for bi in range(2):
+        h = golden_block(h, sd, f"{p}.layer4.{bi}", 2 if bi == 0 else 1)
+    return h.mean(dim=(2, 3))
+
+
+def golden_tformer(feats, sd, p):
+    b = feats.shape[0]
+    cls = torch.from_numpy(sd[f"{p}.cls_token"]).expand(b, 1, -1)
+    z = torch.cat([cls, feats], dim=1)
+    z = z + torch.from_numpy(sd[f"{p}.pos_embedding"])[:, :z.shape[1]]
+    z = golden_transformer_hd(z, sd, f"{p}.spatial_transformer", 3, 8, 64)
+    return z[:, 0]
+
+
+def golden_au_tokens(feats, sd, p):
+    _, tokens = golden_au_former(feats.numpy(), sd, p)
+    return torch.from_numpy(tokens)
+
+
+def test_full_avformer_forward_parity(synthetic_avformer_sd):
+    """Converted synthetic checkpoint: our jitted avformer forward must
+    reproduce the torch-functional golden end to end (AU logits)."""
+    import jax
+    from auformer.core.config import Config
+    from auformer.core.torch_import import convert_avformer
+    from auformer.nn import init_model
+
+    sd = synthetic_avformer_sd
+    b, tt, size = 2, 16, 32
+    clip_nchw = t(b, 3, tt, size, size, scale=1.0)       # torch layout
+    audio = t(b, 1, 64, 101, scale=1.0)
+
+    # ---- golden ----
+    at = torch.from_numpy(audio)
+    a_feats = golden_resnet18_trunk(
+        at, sd, "audio_model.audio_model.resnet").mean(dim=(2, 3))
+    a_tokens = golden_au_tokens(a_feats, sd, "audio_model.au_head")
+
+    ct = torch.from_numpy(clip_nchw).permute(0, 2, 1, 3, 4)  # (B,T,C,H,W)
+    frames = ct.reshape(b * tt, 3, size, size)
+    v_feats = golden_resformer(frames, sd, "video_model.video_model.s_former")
+    pooled = golden_tformer(v_feats.reshape(b, tt, 512), sd,
+                            "video_model.video_model.t_former")
+    v_tokens = golden_au_tokens(pooled, sd, "video_model.au_head")
+
+    fused = torch.cat([a_tokens, v_tokens], dim=2)
+    z = fused + torch.from_numpy(sd["au_head.pos_embedding"])
+    z = golden_transformer_hd(z, sd, "au_head.corr_transformer", 3, 8, 32)
+    golden_logits = torch.cat(
+        [z[:, i - 1] @ torch.from_numpy(
+            sd[f"au_head.AU_linear_last{i}.weight"]).T
+         for i in range(1, 13)], dim=1).numpy()
+
+    # ---- ours ----
+    cfg = Config(model_name="avformer", modality="A;V", task="AU",
+                 n_frames=16, image_size=32, compute_dtype="float32",
+                 use_pallas=False)
+    model, variables = init_model(cfg)
+    merged = merge_into(
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"]}, convert_avformer(sd))
+    clip_nhwc = np.transpose(clip_nchw, (0, 2, 3, 4, 1))  # (B,T,H,W,C)
+    out = model.apply({"params": merged["params"],
+                       "batch_stats": merged["batch_stats"]},
+                      {"clip": clip_nhwc, "audio_features": audio},
+                      train=False)
+    ours = np.asarray(out)[:, :12]
+    np.testing.assert_allclose(ours, golden_logits, rtol=2e-3, atol=2e-4)
