@@ -98,11 +98,42 @@ def pallas_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     return out.reshape(b, h, n, d)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _pallas_attention_ad(q, k, v, scale):
+    return pallas_attention(q, k, v, scale)
+
+
+def _pallas_attention_fwd(q, k, v, scale):
+    return pallas_attention(q, k, v, scale), (q, k, v)
+
+
+def _pallas_attention_bwd(scale, res, g):
+    """XLA backward: the forward's VMEM-resident intermediates (scores,
+    softmax) are cheap to recompute at these token counts, so the bwd is a
+    plain rematerializing softmax-attention gradient."""
+    q, k, v = res
+    qf = q.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    gf = g.astype(jnp.float32)
+    s = jnp.einsum("bhid,bhjd->bhij", qf, kf) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    dv = jnp.einsum("bhij,bhid->bhjd", p, gf)
+    dp = jnp.einsum("bhid,bhjd->bhij", gf, vf)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.einsum("bhij,bhjd->bhid", ds, kf) * scale
+    dk = jnp.einsum("bhij,bhid->bhjd", ds, qf) * scale
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+_pallas_attention_ad.defvjp(_pallas_attention_fwd, _pallas_attention_bwd)
+
+
 def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
                     mask: Optional[jax.Array] = None,
                     use_pallas: bool = False) -> jax.Array:
     """Dispatch between the Pallas fused kernel and the XLA einsum path."""
     if (use_pallas and mask is None and _HAS_PLTPU
             and jax.default_backend() == "tpu"):
-        return pallas_attention(q, k, v, scale)
+        return _pallas_attention_ad(q, k, v, scale)
     return _xla_attention(q, k, v, scale, mask)

@@ -81,3 +81,25 @@ def test_dispatch_falls_back_off_tpu():
     np.testing.assert_allclose(np.asarray(out),
                                ref_attention(q, q, q, 0.2),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_custom_vjp_backward_matches_autodiff():
+    """The hand-written backward used for the Pallas path must equal
+    autodiff of the XLA attention."""
+    rs = np.random.RandomState(4)
+    q = rs.randn(2, 4, 12, 32).astype(np.float32)
+    k = rs.randn(2, 4, 12, 32).astype(np.float32)
+    v = rs.randn(2, 4, 12, 32).astype(np.float32)
+    g = rs.randn(2, 4, 12, 32).astype(np.float32)
+    scale = 32 ** -0.5
+
+    _, vjp = jax.vjp(lambda q, k, v: att._xla_attention(q, k, v, scale),
+                     q, k, v)
+    dq_ref, dk_ref, dv_ref = vjp(g)
+    dq, dk, dv = att._pallas_attention_bwd(scale, (q, k, v), g)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_ref),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_ref),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_ref),
+                               rtol=1e-4, atol=1e-5)
