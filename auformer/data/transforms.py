@@ -188,3 +188,100 @@ def train_augment(clip: np.ndarray) -> np.ndarray:
     (aff2compdataset.py:72-74)."""
     clip = imagenet_policy(clip)
     return random_clip_flip(clip)
+
+
+# ---------------------------------------------------------------------------
+# invertible host transform API (clip_transforms.py:16-108). The serving
+# path normalizes on device (ops/preprocess.py); these host equivalents
+# exist for tooling/parity checks and visualization (the invert direction).
+# ---------------------------------------------------------------------------
+
+class ComposeWithInvert:
+    """Apply transforms forward, or reversed with invert=True
+    (clip_transforms.py:16-28)."""
+
+    def __init__(self, transforms):
+        self.transforms = transforms
+
+    def __call__(self, x, invert: bool = False):
+        for t in (reversed(self.transforms) if invert else self.transforms):
+            x = t(x, invert)
+        return x
+
+
+class NumpyToTensor:
+    """uint8 (T, H, W, C) <-> float32 (C, T, H, W) / 255
+    (clip_transforms.py:31-45). Torch-free: returns numpy."""
+
+    def __call__(self, clip, invert: bool = False):
+        if invert:
+            clip = np.transpose(clip, (1, 2, 3, 0)) * 255.0
+            return np.clip(np.round(clip), 0, 255).astype(np.uint8)
+        clip = clip.astype(np.float32) / 255.0
+        return np.transpose(clip, (3, 0, 1, 2))
+
+
+class Normalize:
+    """Per-channel (x - mean) / std over the leading channel dim
+    (clip_transforms.py:59-93)."""
+
+    def __init__(self, mean, std):
+        self.mean = np.asarray(mean, np.float32)
+        self.std = np.asarray(std, np.float32)
+
+    def __call__(self, x, invert: bool = False):
+        shape = (-1,) + (1,) * (x.ndim - 1)
+        m = self.mean.reshape(shape)
+        s = self.std.reshape(shape)
+        return x * s + m if invert else (x - m) / s
+
+
+class AmpToDB:
+    """torchaudio AmplitudeToDB('power', 80) host equivalent
+    (clip_transforms.py:96-108)."""
+
+    def __call__(self, feats, invert: bool = False):
+        if invert:
+            return feats
+        from ..ops.audio_host import amplitude_to_db_host
+        return amplitude_to_db_host(np.asarray(feats, np.float32))
+
+
+class RandomClipFlip:
+    """Class form of random_clip_flip for compose pipelines
+    (clip_transforms.py:111-128)."""
+
+    def __init__(self, p: float = 0.5):
+        self.p = p
+
+    def __call__(self, clip, invert: bool = False):
+        return clip if invert else random_clip_flip(clip, self.p)
+
+
+# ---------------------------------------------------------------------------
+# intensity.py color-op surface (Brightness/Hue/Contrast/Saturation and
+# random variants, intensity.py:38-359), realized with PIL enhancers
+# ---------------------------------------------------------------------------
+
+def _enhance_frame(img: np.ndarray, cls, factor: float) -> np.ndarray:
+    return np.array(cls(Image.fromarray(img)).enhance(factor))
+
+
+def adjust_brightness(img, factor):
+    return _enhance_frame(img, ImageEnhance.Brightness, factor)
+
+
+def adjust_contrast(img, factor):
+    return _enhance_frame(img, ImageEnhance.Contrast, factor)
+
+
+def adjust_saturation(img, factor):
+    return _enhance_frame(img, ImageEnhance.Color, factor)
+
+
+def adjust_hue(img, shift: float):
+    """shift in [-0.5, 0.5] of the hue circle (intensity.py Hue)."""
+    hsv = np.array(Image.fromarray(img).convert("HSV"), np.int16)
+    hsv[..., 0] = (hsv[..., 0] + int(shift * 255)) % 256
+    return np.array(Image.fromarray(hsv.astype(np.uint8), "HSV")
+                    .convert("RGB"))
