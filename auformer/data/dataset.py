@@ -122,6 +122,15 @@ class Aff2CompDataset:
         self.modes = ["clip", "audio_features"]
         self.aug = False
 
+        # decoded-frame LRU: overlapping dilated windows re-read each frame
+        # up to clip_len times during sequential sweeps (SURVEY.md §7.3-6);
+        # caching decoded RGB frames bounds JPEG decode to ~1x per frame
+        import threading
+        from collections import OrderedDict
+        self._decode_cache: OrderedDict[str, np.ndarray] = OrderedDict()
+        self._cache_lock = threading.Lock()
+        self.decode_cache_size = 4096
+
     # -- reference setters (aff2compdataset.py:104-112) ----------------------
     def set_clip_len(self, clip_len):
         assert clip_len % 2 == 0
@@ -189,6 +198,21 @@ class Aff2CompDataset:
                 keys.append(self._store_key(self.image_path[all_i]))
         return keys
 
+    def _cache_get(self, key: str) -> np.ndarray | None:
+        with self._cache_lock:
+            c = self._decode_cache
+            frame = c.get(key)
+            if frame is not None:
+                c.move_to_end(key)
+            return frame
+
+    def _cache_put(self, key: str, frame: np.ndarray) -> None:
+        with self._cache_lock:
+            c = self._decode_cache
+            c[key] = frame
+            if len(c) > self.decode_cache_size:
+                c.popitem(last=False)
+
     def get_clip(self, index: int) -> np.ndarray:
         channels = 4 if self.use_mask else 3
         h, w = self.input_size
@@ -196,8 +220,19 @@ class Aff2CompDataset:
         keys = self._clip_keys(index)
 
         if self.native_image is not None:
-            frames, ok = self.native_image.decode_batch(keys, h, w, 3)
-            clip[:, :, :, 0:3] = frames
+            miss = [k if (k is not None and self._cache_get(k) is None)
+                    else None for k in keys]
+            if any(m is not None for m in miss):
+                frames, ok = self.native_image.decode_batch(miss, h, w, 3)
+                for i, (m, good) in enumerate(zip(miss, ok)):
+                    if m is not None and good:
+                        self._cache_put(m, frames[i])
+            for i, k in enumerate(keys):
+                if k is None:
+                    continue
+                cached = self._cache_get(k)
+                if cached is not None:
+                    clip[i, :, :, 0:3] = cached
             if self.use_mask and self.native_mask is not None:
                 masks, _ = self.native_mask.decode_batch(keys, h, w, 1)
                 clip[:, :, :, 3] = masks[:, :, :, 0]

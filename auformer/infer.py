@@ -103,7 +103,14 @@ def run_inference(cfg: Config, variables, result_path: str = "results",
         if max_batches is not None and bi >= max_batches:
             break
         x = {k: batch[k] for k in model.modes if k in batch}
-        result = np.asarray(infer(variables, x))
+        n = len(batch["Index"])
+        if n < batch_size:
+            # pad the final partial batch to the static shape (one compiled
+            # program for the whole sweep), slice predictions back
+            pad = batch_size - n
+            x = {k: np.concatenate([v, np.repeat(v[-1:], pad, axis=0)])
+                 for k, v in x.items()}
+        result = np.asarray(infer(variables, x))[:n]
         idxs = batch["Index"]
         output[idxs, :] = result
         pred_au = 1.0 / (1.0 + np.exp(-result[:, :12]))
