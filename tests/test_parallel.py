@@ -1,0 +1,82 @@
+"""Multi-chip semantics on the virtual 8-device mesh: GSPMD must make the
+sharded train step numerically equal to the single-device step — including
+the cross-replica BatchNorm statistics (SURVEY.md §7.3-2)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from auformer.core.config import Config
+from auformer.core.mesh import data_sharding, make_mesh, shard_batch
+from auformer.nn import init_model, loss_suite
+from auformer.parallel import create_train_state, make_train_step
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = Config(model_name="vformer", modality="V", task="AU", n_frames=2,
+                 image_size=32, batch_size=16, compute_dtype="float32",
+                 use_pallas=False, lr_schedule=False)
+    model, variables = init_model(cfg)
+    suite = loss_suite(model)
+    rs = np.random.RandomState(0)
+    batch = {"clip": rs.randint(0, 256, (16, 2, 32, 32, 3)).astype(np.uint8),
+             "AU": rs.randint(0, 2, (16, 12)).astype(np.float32),
+             "EX": rs.randint(0, 7, (16, 1)).astype(np.int32),
+             "VA": rs.uniform(-1, 1, (16, 2)).astype(np.float32)}
+    return cfg, model, variables, suite, batch
+
+
+def test_sharded_step_matches_single_device(setup):
+    """Loss, gradients, and BN batch statistics of the sharded global
+    program must equal the single-device run (up to reduction-order float
+    noise). Post-Adam parameters are NOT compared: at step one Adam's
+    update is ~sign(g)*lr, which amplifies reassociation noise on
+    near-zero gradients."""
+    cfg, model, variables, suite, batch = setup
+    key = jax.random.PRNGKey(7)
+
+    # single device
+    state1 = create_train_state(cfg, model, variables)
+    step1 = make_train_step(cfg, model, suite, donate=False)
+    state1, m1 = step1(state1, batch, key)
+
+    # 8-device mesh, batch sharded
+    mesh = make_mesh("data:-1")
+    assert mesh.shape["data"] == 8
+    state8 = create_train_state(cfg, model, variables)
+    step8 = make_train_step(cfg, model, suite, mesh, donate=False)
+    state8, m8 = step8(state8, shard_batch(mesh, batch), key)
+
+    assert float(m1["loss"]) == pytest.approx(float(m8["loss"]), rel=1e-5)
+
+    # gradients: first Adam moment after one step IS the (decayed) gradient
+    def first_moment(state):
+        for entry in jax.tree_util.tree_leaves(
+                state.opt_state, is_leaf=lambda x: hasattr(x, "mu")):
+            if hasattr(entry, "mu"):
+                return jax.device_get(entry.mu)
+        raise AssertionError("no adam state found")
+
+    g1 = jax.tree_util.tree_leaves(first_moment(state1))
+    g8 = jax.tree_util.tree_leaves(first_moment(state8))
+    for a, b in zip(g1, g8):
+        np.testing.assert_allclose(a, b, rtol=5e-3, atol=5e-5)
+
+    # BatchNorm running stats identical: the sharded step computed GLOBAL
+    # batch statistics (cross-replica BN), not per-shard ones
+    s1 = jax.tree_util.tree_leaves(jax.device_get(state1.batch_stats))
+    s8 = jax.tree_util.tree_leaves(jax.device_get(state8.batch_stats))
+    worst = max(float(np.abs(a - b).max()) for a, b in zip(s1, s8))
+    assert worst < 1e-4, f"batch-stat divergence {worst}"
+
+
+def test_batch_sharding_layout(setup):
+    cfg, model, variables, suite, batch = setup
+    mesh = make_mesh("data:-1")
+    dev = shard_batch(mesh, batch)
+    sh = dev["clip"].sharding
+    assert sh == data_sharding(mesh, dev["clip"].ndim)
+    # each device holds batch/8 rows
+    shard_shapes = {s.data.shape for s in dev["clip"].addressable_shards}
+    assert shard_shapes == {(2, 2, 32, 32, 3)}
