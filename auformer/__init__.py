@@ -37,3 +37,17 @@ AU_IGNORE = -1
 EX_IGNORE = -1          # remapped to 7 at loss time (reference train.py:126,208)
 EX_IGNORE_REMAPPED = 7
 VA_IGNORE = -5.0
+
+
+def __getattr__(name):
+    # lazy convenience exports (keep bare `import auformer` lightweight)
+    if name in ("build_model", "init_model", "loss_suite", "example_batch"):
+        from . import nn
+        return getattr(nn, name)
+    if name == "Config":
+        from .core.config import Config
+        return Config
+    if name == "parse_opt":
+        from .core.config import parse_opt
+        return parse_opt
+    raise AttributeError(name)
