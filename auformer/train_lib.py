@@ -93,9 +93,11 @@ def train(cfg: Config, dataset=None, max_steps_per_epoch: int | None = None,
     os.makedirs(cfg.exp_dir, exist_ok=True)
     log_file = os.path.join(
         cfg.exp_dir, f"{cfg.model_name}_{cfg.modality}_log.txt")
+    # force=True: jax/absl may have installed a root handler already, which
+    # would make a plain basicConfig a silent no-op
     logging.basicConfig(filename=log_file, level=logging.INFO,
                         format="[%(asctime)s.%(msecs)03d] %(message)s",
-                        datefmt="%H:%M:%S")
+                        datefmt="%H:%M:%S", force=True)
 
     mesh = make_mesh(cfg.mesh_shape)
     model, variables = init_model(cfg)
