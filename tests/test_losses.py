@@ -171,3 +171,83 @@ def test_suite_layout_and_mt():
     v = np.tanh(out[:, 19]); a = np.tanh(out[:, 20])
     expect = 2 * float(ccc_loss(v, va[:, 0])) + float(ccc_loss(a, va[:, 1]))
     assert float(lva) == pytest.approx(expect, rel=1e-5)
+
+
+def test_smooth_au_loss_matches_torch():
+    """SmoothAULoss intent: plain pos-weighted BCE + label-smoothed BCE with
+    the pos_weight applied as an ELEMENTWISE weight (loss.py:12-31,178-220)."""
+    from auformer.losses import smooth_au_loss
+    logits, labels = make_au_batch()
+    x = torch.from_numpy(logits)
+    y = torch.from_numpy(labels)
+    keep = y[:, 0] != -1
+    x, y = x[keep], y[keep]
+    pw = torch.from_numpy(AU_POS_WEIGHT)
+    plain = F.binary_cross_entropy_with_logits(
+        x, y, pos_weight=pw, reduction="none").mean()
+    sm_t = y * 0.9 + 0.05
+    smooth = (F.binary_cross_entropy_with_logits(
+        x, sm_t, reduction="none") * pw).mean()
+    golden = float(plain + smooth)
+    assert float(smooth_au_loss(logits, labels)) == pytest.approx(
+        golden, rel=1e-4)
+
+
+def test_focal_au_loss_matches_torch():
+    """FocalAULoss intent: mean BCE + FocalLoss2d scalar transform
+    (loss.py:34-61,222-264)."""
+    from auformer.losses import focal_au_loss
+    logits, labels = make_au_batch()
+    x = torch.from_numpy(logits)
+    y = torch.from_numpy(labels)
+    keep = y[:, 0] != -1
+    x, y = x[keep], y[keep]
+    pw = torch.from_numpy(AU_POS_WEIGHT)
+    mean_bce = F.binary_cross_entropy_with_logits(
+        x, y, pos_weight=pw, reduction="mean")
+    logpt = -mean_bce
+    pt = torch.exp(logpt)
+    focal = 0.25 * (-((1 - pt) ** 2) * logpt)
+    golden = float(mean_bce + focal)
+    assert float(focal_au_loss(logits, labels)) == pytest.approx(
+        golden, rel=1e-4)
+
+
+def test_focal_topk_matches_torch():
+    """FocalLoss_TOPK: top-20% hard mining over per-sample focal CE
+    (loss.py:339-386)."""
+    from auformer.losses import ex_focal_topk_loss
+    logits = RS.randn(40, 7).astype(np.float32)
+    labels = RS.randint(0, 7, 40).astype(np.int64)
+    p = F.softmax(torch.from_numpy(logits), dim=1)
+    pt = p.gather(1, torch.from_numpy(labels).view(-1, 1)).view(-1)
+    loss = -0.25 * ((1 - pt) ** 2) * torch.log(pt)
+    golden = float(torch.topk(loss, int(40 * 0.2))[0].mean())
+    assert float(ex_focal_topk_loss(logits, labels)) == pytest.approx(
+        golden, rel=1e-4)
+
+
+def test_label_smoothing_ce_reference_formula():
+    """LabelSmoothingCrossEntropy (loss.py:326-337) on all-valid labels:
+    eps*smooth/n + (1-2*eps)*nll."""
+    from auformer.losses import label_smoothing_ce_loss
+    logits = RS.randn(16, 7).astype(np.float32)
+    labels = RS.randint(0, 7, 16).astype(np.int64)
+    lp = F.log_softmax(torch.from_numpy(logits), dim=-1)
+    smooth = (-lp.sum(dim=-1)).mean()
+    nll = F.nll_loss(lp, torch.from_numpy(labels))
+    golden = float(0.1 * smooth / 7 + (1 - 0.2) * nll)
+    assert float(label_smoothing_ce_loss(logits, labels)) == pytest.approx(
+        golden, rel=1e-4)
+
+
+def test_ccc_smooth_l1():
+    """CCC_SmoothL1 intent (loss.py:315-318): SmoothL1 + CCC loss."""
+    from auformer.losses import ccc_loss, ccc_smooth_l1_loss
+    pred = RS.randn(32).astype(np.float32)
+    true = (pred * 0.5 + RS.randn(32).astype(np.float32) * 0.4)
+    sl1 = float(F.smooth_l1_loss(torch.from_numpy(pred),
+                                 torch.from_numpy(true)))
+    golden = sl1 + float(ccc_loss(pred, true))
+    assert float(ccc_smooth_l1_loss(pred, true)) == pytest.approx(
+        golden, rel=1e-4)
