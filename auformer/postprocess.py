@@ -35,6 +35,20 @@ def nearest_interp(source_list: list[int], target_len: int) -> list[int]:
     return out
 
 
+def video_frame_counts(video_dir: str) -> dict[str, int]:
+    """Build the per-video frame-count table from meta.json side files or
+    the videos themselves (the reference pickles n_video_frames.pkl,
+    postprocess.py:17-28)."""
+    from .data.utils import find_all_video_files
+    from .data.video import Video
+
+    counts: dict[str, int] = {}
+    for vf in find_all_video_files(video_dir):
+        v = Video(vf, write=True)
+        counts[os.path.splitext(os.path.basename(vf))[0]] = v.num_frames
+    return counts
+
+
 def expand_predictions(prediction_path: str, frames_root: str,
                        video_frame_counts: dict[str, int],
                        out_dir: str = "prediction_new",
@@ -66,3 +80,25 @@ def expand_predictions(prediction_path: str, frames_root: str,
                 nf.write(pred[0])
                 for i in range(n_frame):
                     nf.write(pred[indices[i] + 1])
+
+
+def main(argv=None):
+    import argparse
+    p = argparse.ArgumentParser(
+        description="expand sparse predictions to full video length")
+    p.add_argument("--predictions", required=True,
+                   help="dir with <task>/<video>.txt sparse files")
+    p.add_argument("--frames_root", required=True,
+                   help="cropped-aligned frame dirs (detected frame ids)")
+    p.add_argument("--video_dir", required=True,
+                   help="original videos (frame-count source)")
+    p.add_argument("--out_dir", default="prediction_new")
+    p.add_argument("--tasks", nargs="+", default=["AU", "EXPR", "VA"])
+    args = p.parse_args(argv)
+    counts = video_frame_counts(args.video_dir)
+    expand_predictions(args.predictions, args.frames_root, counts,
+                       args.out_dir, tuple(args.tasks))
+
+
+if __name__ == "__main__":
+    main()

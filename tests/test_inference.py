@@ -79,3 +79,30 @@ def test_to_str_formats():
     assert au_to_str(np.array([1, 0] * 6)) == "1,0,1,0,1,0,1,0,1,0,1,0"
     assert va_to_str(0.602, 0.389) == "0.602,0.389"
     assert va_to_str(-0.024, 0.279) == "-0.024,0.279"
+
+
+def test_expand_predictions_end_to_end(tmp_path):
+    """Full postprocess flow: sparse per-detected-frame txt -> dense
+    full-video txt (postprocess.py:51-89)."""
+    from auformer.postprocess import expand_predictions
+
+    # sparse predictions for frames 1,2,4,6 of a 8-frame video
+    pred_dir = tmp_path / "pred" / "AU"
+    pred_dir.mkdir(parents=True)
+    rows = ["h"] + [f"row{i}" for i in (1, 2, 4, 6)]
+    (pred_dir / "vidX.txt").write_text("\n".join(rows) + "\n")
+    frames_dir = tmp_path / "aligned" / "vidX"
+    frames_dir.mkdir(parents=True)
+    for i in (1, 2, 4, 6):
+        (frames_dir / f"{i:05d}.jpg").touch()
+
+    expand_predictions(str(tmp_path / "pred"), str(tmp_path / "aligned"),
+                       {"vidX": 8}, out_dir=str(tmp_path / "out"),
+                       tasks=("AU",))
+    lines = (tmp_path / "out" / "AU" / "vidX.txt").read_text().strip() \
+        .split("\n")
+    assert lines[0] == "h"
+    assert len(lines) == 9
+    # frame gaps repeat the previous detection, tail repeats the last
+    assert lines[1:] == ["row1", "row2", "row2", "row4", "row4",
+                         "row6", "row6", "row6"]
