@@ -109,3 +109,17 @@ def generate_synthetic_dataset(root: str, label_dir: str,
     with open(os.path.join(root, "video2orignal.pkl"), "wb") as f:
         pickle.dump(v2o, f)
     return {"n_videos": n_videos, "frames_per_video": frames_per_video}
+
+
+def ensure_synthetic(cfg) -> None:
+    """--data_backend synthetic: materialize a fixture dataset under the
+    configured paths when absent, so `python train.py --data_backend
+    synthetic` dry-runs the full pipeline without Aff-Wild2."""
+    marker = os.path.join(cfg.root, "video2orignal.pkl")
+    if os.path.isfile(marker):
+        return
+    generate_synthetic_dataset(
+        cfg.root, cfg.lmdb_label_dir, n_videos=4,
+        frames_per_video=max(cfg.label_frame * 2, 48),
+        image_size=cfg.image_size,
+        audio_secs=max(cfg.label_frame * 2, 48) / 30.0 + 0.5)

@@ -103,7 +103,11 @@ def train(cfg: Config, dataset=None, max_steps_per_epoch: int | None = None,
     model, variables = init_model(cfg)
     suite = loss_suite(model)
 
-    dataset = dataset or Aff2CompDataset(cfg)
+    if dataset is None:
+        if cfg.data_backend == "synthetic":
+            from .data.fixtures import ensure_synthetic
+            ensure_synthetic(cfg)
+        dataset = Aff2CompDataset(cfg)
     dataset.set_modes(list(model.modes))
 
     cfg.checkpoint_path = os.path.join(cfg.exp_dir, "pretrain")
