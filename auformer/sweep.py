@@ -87,8 +87,21 @@ class AvformerSweep:
             fused = jnp.concatenate([a_tokens, v_tokens], axis=2)
             return fusion.apply(f_head, fused, deterministic=True)
 
+        @jax.jit
+        def fused_sweep(frames_u8, audio_features, idx):
+            """Whole-bucket sweep in ONE device program: trunk once per
+            frame, on-device window gather, temporal+audio heads. No
+            intermediate host round-trips."""
+            feats = frame_features(frames_u8)               # (N, 512)
+            black = frame_features(
+                jnp.zeros((1,) + frames_u8.shape[1:], jnp.uint8))
+            feats = jnp.concatenate([feats, black])         # black slot = N
+            gathered = feats[idx]                           # (N, T, 512)
+            return head_forward(gathered, audio_features)
+
         self.frame_features = frame_features
         self.head_forward = head_forward
+        self.fused_sweep = fused_sweep
 
     def black_feature(self, image_size: int) -> np.ndarray:
         black = np.zeros((1, image_size, image_size, 3), np.uint8)
@@ -113,35 +126,45 @@ class AvformerSweep:
 
     def sweep_video(self, frames_u8: np.ndarray,
                     audio_features: np.ndarray,
-                    batch: int = 128) -> np.ndarray:
-        """frames_u8 (N,H,W,3) + audio_features (N,1,mels,T) -> (N,12)."""
-        n, h, w, _ = frames_u8.shape
-        feats = []
-        for s in range(0, n, batch):
-            chunk = frames_u8[s:s + batch]
-            if len(chunk) < batch:  # static shapes: pad the tail
-                pad = batch - len(chunk)
-                chunk = np.concatenate(
-                    [chunk, np.repeat(chunk[-1:], pad, axis=0)])
-                feats.append(np.asarray(self.frame_features(chunk))[:n - s])
-            else:
-                feats.append(np.asarray(self.frame_features(chunk)))
-        feats = np.concatenate(feats)                       # (N, 512)
-        feats = np.concatenate([feats, self.black_feature(h)[None]])
+                    batch: int = 512) -> np.ndarray:
+        """frames_u8 (N,H,W,3) + audio_features (N,1,mels,T) -> (N,12).
 
-        idx = self.window_indices(n)                        # (N, T)
+        Buckets of ``batch`` frames run through ONE fused device program
+        each (pad-to-bucket keeps a single compiled shape). The window
+        gather crosses bucket boundaries through a history margin of
+        label_frame frames prepended to each bucket.
+        """
+        n = frames_u8.shape[0]
+        lf = self.cfg.label_frame
+        idx_full = self.window_indices(n)                   # (N, T), N=black
         out = np.zeros((n, 12), np.float32)
         for s in range(0, n, batch):
-            rows = idx[s:s + batch]
-            af = audio_features[s:s + batch]
-            cur = len(rows)
-            if cur < batch:
+            cur = min(batch, n - s)
+            lo = max(s - lf, 0)
+            frames_chunk = frames_u8[lo:s + cur]
+            # local indices: rows for [s, s+cur), black slot = chunk len
+            rows = idx_full[s:s + cur].copy()
+            black_slot = len(frames_chunk)
+            rows = np.where(rows == n, -1, rows)
+            rows = rows - lo
+            rows = np.where((rows < 0) | (rows >= black_slot),
+                            black_slot, rows)
+            af = audio_features[s:s + cur]
+            # pad to the bucket's static shapes
+            fpad = batch + lf - len(frames_chunk)
+            if fpad:
+                frames_chunk = np.concatenate(
+                    [frames_chunk,
+                     np.zeros((fpad,) + frames_chunk.shape[1:], np.uint8)])
+            rpad = batch - cur
+            if rpad:
                 rows = np.concatenate(
-                    [rows, np.repeat(rows[-1:], batch - cur, axis=0)])
+                    [rows, np.full((rpad, rows.shape[1]), black_slot)])
                 af = np.concatenate(
-                    [af, np.repeat(af[-1:], batch - cur, axis=0)])
-            gathered = feats[rows]                          # (B, T, 512)
-            logits = np.asarray(self.head_forward(
-                jnp.asarray(gathered, self.dtype), af))
+                    [af, np.repeat(af[-1:], rpad, axis=0)])
+            # black slot must point at the padded-zero region end marker:
+            # feats has len(frames_chunk)=batch+lf entries + appended black
+            rows = np.where(rows == black_slot, batch + lf, rows)
+            logits = np.asarray(self.fused_sweep(frames_chunk, af, rows))
             out[s:s + cur] = logits[:cur]
         return out
