@@ -121,6 +121,10 @@ class Aff2CompDataset:
         self.use_audio = "A" in cfg.modality.split(";")
         self.modes = ["clip", "audio_features"]
         self.aug = False
+        # per-epoch augmentation seed: per-sample PRNGs keep augmentation
+        # deterministic under the threaded loader (the reference is
+        # single-threaded and uses global `random`)
+        self.aug_seed = 0
 
         # decoded-frame LRU: overlapping dilated windows re-read each frame
         # up to clip_len times during sequential sweeps (SURVEY.md §7.3-6);
@@ -294,10 +298,13 @@ class Aff2CompDataset:
         data["EX"] = self.get_label(current, "ex")
         data["VA"] = self.get_label(current, "va")
 
-        if self.aug and not self.use_mask:
-            clip = transforms.train_augment(clip)
-        elif self.use_mask:
-            clip = transforms.random_clip_flip(clip) if self.aug else clip
+        if self.aug:
+            import random as _random
+            rng = _random.Random((self.aug_seed << 32) ^ index)
+            if not self.use_mask:
+                clip = transforms.train_augment(clip, rng)
+            else:
+                clip = transforms.random_clip_flip(clip, rng=rng)
         data["clip"] = clip  # uint8 (T,H,W,C); device normalizes
 
         if self.use_audio and "audio_features" in self.modes:

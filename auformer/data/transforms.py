@@ -44,10 +44,11 @@ _RANGES = {
 }
 
 
-def _apply_op(img: Image.Image, op: str, magnitude) -> Image.Image:
+def _apply_op(img: Image.Image, op: str, magnitude,
+              rng: random.Random | None = None) -> Image.Image:
     """PIL op application (ops.py:5-95 semantics, including the random
     sign choice inside shear/rotate/enhance ops)."""
-    sign = random.choice([-1, 1])
+    sign = (rng or random).choice([-1, 1])
     if op == "shearX":
         return img.transform(img.size, Image.AFFINE,
                              (1, magnitude * sign, 0, 0, 1, 0),
@@ -120,26 +121,33 @@ IMAGENET_POLICIES = [
 ]
 
 
-def imagenet_policy(clip: np.ndarray) -> np.ndarray:
+def imagenet_policy(clip: np.ndarray,
+                    rng: random.Random | None = None) -> np.ndarray:
     """Apply one randomly-chosen sub-policy frame-by-frame in place
-    (autoaugment.py:51-56, 104-112). clip: (T, H, W, C) uint8."""
+    (autoaugment.py:51-56, 104-112). clip: (T, H, W, C) uint8.
+
+    ``rng``: explicit PRNG for deterministic augmentation under threaded
+    loaders (the global-``random`` path matches the reference's
+    single-threaded behavior)."""
+    r = rng or random
     p1, op1, m1, p2, op2, m2 = IMAGENET_POLICIES[
-        random.randint(0, len(IMAGENET_POLICIES) - 1)]
+        r.randint(0, len(IMAGENET_POLICIES) - 1)]
     mag1 = _RANGES[op1][m1]
     mag2 = _RANGES[op2][m2]
     for t in range(clip.shape[0]):
         img = Image.fromarray(clip[t, :, :, 0:3])
-        if random.random() < p1:
-            img = _apply_op(img, op1, mag1)
-        if random.random() < p2:
-            img = _apply_op(img, op2, mag2)
+        if r.random() < p1:
+            img = _apply_op(img, op1, mag1, rng)
+        if r.random() < p2:
+            img = _apply_op(img, op2, mag2, rng)
         clip[t, :, :, 0:3] = np.array(img)
     return clip
 
 
-def random_clip_flip(clip: np.ndarray, p: float = 0.5) -> np.ndarray:
+def random_clip_flip(clip: np.ndarray, p: float = 0.5,
+                     rng: random.Random | None = None) -> np.ndarray:
     """Whole-clip horizontal flip (clip_transforms.py:111-128)."""
-    if random.random() < p:
+    if (rng or random).random() < p:
         clip = clip[:, :, ::-1, :].copy()
     return clip
 
@@ -183,11 +191,12 @@ def random_color_augment(clip: np.ndarray,
     return clip
 
 
-def train_augment(clip: np.ndarray) -> np.ndarray:
+def train_augment(clip: np.ndarray,
+                  rng: random.Random | None = None) -> np.ndarray:
     """The reference training pipeline: ImageNetPolicy + RandomClipFlip
     (aff2compdataset.py:72-74)."""
-    clip = imagenet_policy(clip)
-    return random_clip_flip(clip)
+    clip = imagenet_policy(clip, rng)
+    return random_clip_flip(clip, rng=rng)
 
 
 # ---------------------------------------------------------------------------

@@ -150,6 +150,8 @@ def train(cfg: Config, dataset=None, max_steps_per_epoch: int | None = None,
         np.random.shuffle(downsample)
         # host PIL augmentation unless the on-device XLA path is selected
         dataset.set_aug(not cfg.device_augment)
+        if hasattr(dataset, "aug_seed"):
+            dataset.aug_seed = cfg.seed * 100003 + epoch
         train_ids = np.nonzero(dataset.train_ids * downsample)[0]
         loader = DataLoader(dataset, cfg.batch_size,
                             SubsetSequentialSampler(train_ids, shuffle=True),

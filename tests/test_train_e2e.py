@@ -62,3 +62,16 @@ def test_loss_decreases_on_overfit(cfg):
     state, history = train_lib.train(c, max_steps_per_epoch=6, epochs=3)
     losses = [h["loss"] for h in history]
     assert losses[-1] < losses[0]
+
+
+def test_training_determinism(cfg):
+    """Same seed -> identical first-epoch losses (setup_seed + functional
+    PRNG; utils.py:14-19 reproducibility contract)."""
+    import copy
+    losses = []
+    for run in range(2):
+        c = copy.deepcopy(cfg)
+        c.exp_dir = cfg.exp_dir + f"_det{run}"
+        _, history = train_lib.train(c, max_steps_per_epoch=3, epochs=1)
+        losses.append(history[0]["loss"])
+    assert losses[0] == pytest.approx(losses[1], rel=1e-6)
