@@ -61,9 +61,14 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Place a host batch (pytree of np arrays) onto the mesh, batch-sharded."""
+    """Place a host batch (pytree of np arrays) onto the mesh, batch-sharded.
+    Non-numeric entries (e.g. video_id strings) pass through untouched."""
     def put(x):
-        sh = data_sharding(mesh, np.ndim(x)) if np.ndim(x) >= 1 else replicated_sharding(mesh)
+        arr = np.asarray(x)
+        if arr.dtype.kind in ("U", "S", "O"):
+            return x
+        sh = (data_sharding(mesh, arr.ndim) if arr.ndim >= 1
+              else replicated_sharding(mesh))
         return jax.device_put(x, sh)
     return jax.tree_util.tree_map(put, batch)
 
