@@ -18,7 +18,7 @@ import numpy as np
 from .core.config import Config
 from .data import DataLoader, SubsetSequentialSampler
 from .data.testset import Aff2TestDataset
-from .nn import build_model, init_model
+from .nn import build_model
 from .ops.preprocess import normalize_clip
 
 AU_HEADER = "AU1,AU2,AU4,AU6,AU7,AU10,AU12,AU15,AU23,AU24,AU25,AU26"

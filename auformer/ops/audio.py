@@ -31,7 +31,6 @@ provides the variable-length exact path used by the strict-parity dataset.
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

@@ -14,8 +14,6 @@ Design (SURVEY.md §2.2 TPU-native table):
 """
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
 from typing import Any, Callable, Optional
 
 import jax

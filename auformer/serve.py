@@ -16,7 +16,6 @@ from __future__ import annotations
 import time
 from typing import Iterator
 
-import jax
 import numpy as np
 
 from .core.config import Config

@@ -26,7 +26,7 @@ from .core.prng import key_seq, setup_seed
 from .data import (Aff2CompDataset, DataLoader, Prefetcher,
                    SubsetSequentialSampler)
 from .metrics import AccF1Metric, CCCMetric, MultiLabelAccF1, composite_scores
-from .nn import build_model, init_model, loss_suite
+from .nn import init_model, loss_suite
 from .parallel import TrainState, create_train_state, make_eval_step, \
     make_train_step
 
