@@ -153,3 +153,13 @@ def test_augmentation_changes_clip_and_is_deterministic(dataset_dirs):
         # loaders stay deterministic)
         np.testing.assert_array_equal(ds[30]["clip"], aug)
     assert changed
+
+
+def test_shard_indices_partition():
+    """Per-host input sharding (SURVEY §2.2): strided shards cover all
+    indices exactly once."""
+    from auformer.data import shard_indices
+    ids = list(range(103))
+    shards = [shard_indices(ids, h, 4) for h in range(4)]
+    assert sorted(sum(shards, [])) == ids
+    assert max(len(s) for s in shards) - min(len(s) for s in shards) <= 1
