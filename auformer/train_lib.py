@@ -50,8 +50,8 @@ class AverageMeter:
         self.avg = self.sum / max(self.count, 1)
 
 
-def evaluate(cfg: Config, model, suite, eval_step, state: TrainState,
-             loader, mesh=None, num_step: int | None = None):
+def evaluate(eval_step, state: TrainState, loader, mesh=None,
+             num_step: int | None = None):
     """Validation sweep -> composite scores (reference train.py:106-169)."""
     metric_ex = AccF1Metric(ignore_index=7)
     metric_va = CCCMetric(ignore_index=-5.0)
@@ -210,8 +210,8 @@ def train(cfg: Config, dataset=None, max_steps_per_epoch: int | None = None,
                                 num_threads=cfg.host_threads, drop_last=True,
                                 prefetch_batches=cfg.prefetch_depth)
         num_eval = max(int(len(val_ids) / val_bs), 1) if len(val_ids) else 0
-        scores = evaluate(cfg, model, suite, eval_step, state, val_loader,
-                          mesh, num_step=num_eval)
+        scores = evaluate(eval_step, state, val_loader, mesh,
+                          num_step=num_eval)
 
         if cfg.task == "ALL":
             total_score = sum(scores[t]["score"] for t in ("EX", "AU", "VA"))
