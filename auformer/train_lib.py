@@ -169,11 +169,15 @@ def train(cfg: Config, dataset=None, max_steps_per_epoch: int | None = None,
                 break
             timer.mark_data()
             if cfg.profile_dir and epoch == start_epoch:
-                if step_i == 10 and not tracing:
-                    jax.profiler.start_trace(cfg.profile_dir)
-                    tracing = True
-                elif step_i == 15 and tracing:
-                    jax.profiler.stop_trace()
+                try:  # profiling must never kill training (exotic backends)
+                    if step_i == 10 and not tracing:
+                        jax.profiler.start_trace(cfg.profile_dir)
+                        tracing = True
+                    elif step_i == 15 and tracing:
+                        jax.profiler.stop_trace()
+                        tracing = False
+                except Exception as e:  # pragma: no cover
+                    logging.warning(f"profiler unavailable: {e}")
                     tracing = False
             dev_batch = shard_batch(mesh, batch)
             state, metrics = train_step(state, dev_batch, keys())
