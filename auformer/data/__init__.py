@@ -2,11 +2,12 @@ from .framestore import FrameStore, FrameStoreWriter, open_store
 from .samplers import (DataLoader, Prefetcher, SubsetRandomSampler,
                        SubsetSequentialSampler, collate, shard_indices)
 from .dataset import Aff2CompDataset
+from .testset import Aff2TestDataset
 from .split import create_dataset_split
 
 __all__ = [
     "FrameStore", "FrameStoreWriter", "open_store",
     "DataLoader", "Prefetcher", "SubsetRandomSampler",
     "SubsetSequentialSampler", "collate", "shard_indices",
-    "Aff2CompDataset", "create_dataset_split",
+    "Aff2CompDataset", "Aff2TestDataset", "create_dataset_split",
 ]
