@@ -36,6 +36,41 @@ def find_all_files_with_ext_in(folder: str, ext: str) -> list[str]:
     return out
 
 
+def get_filename(path: str) -> str:
+    return os.path.splitext(os.path.basename(path))[0]
+
+
+def get_extension(path: str) -> str:
+    return os.path.splitext(os.path.basename(path))[1]
+
+
+def get_path(path: str) -> str:
+    return os.path.split(path)[0]
+
+
+def convert_to_filenames(paths: list[str], sort_list: bool = True) -> list[str]:
+    out = [get_filename(p) for p in paths]
+    if sort_list:
+        out.sort()
+    return out
+
+
+def solve_symlinks(paths: list[str]) -> list[str]:
+    return [os.path.realpath(p) for p in paths]
+
+
+IMAGE_EXTS = ("bmp", "jpg", "png", "jpeg", "tif", "tiff", "tga")
+
+
+def find_all_image_files(folder: str) -> list[str]:
+    out: list[str] = []
+    for ext in IMAGE_EXTS:
+        out += glob.glob(os.path.join(folder, "*." + ext))
+        out += glob.glob(os.path.join(folder, "*." + ext.upper()))
+    out.sort()
+    return out
+
+
 VIDEO_EXTS = ("avi", "mp4", "mkv", "mov", "wmv", "webm", "mpg", "mpeg")
 
 
