@@ -59,3 +59,17 @@ def test_audio_visual_avformer_step(dirs):
     a = jax.tree_util.tree_leaves(init_vars["params"]["au_head"])
     b = jax.tree_util.tree_leaves(jax.device_get(state.params)["au_head"])
     assert any(not np.allclose(x, y) for x, y in zip(a, b))
+
+
+def test_mask_modality_dsformer_step(dirs):
+    """V;M training through the real dataset (4-channel clips, mask
+    normalization constants, dual-trunk dsformer)."""
+    base, root, label = dirs
+    cfg = Config(root=root, lmdb_label_dir=label,
+                 cache_dir=str(base / "cache"), exp_dir=str(base / "exp3"),
+                 model_name="dsformer", modality="V;M", task="AU",
+                 n_frames=1, dilation=1, image_size=32, batch_size=8,
+                 downsample_rate=1, compute_dtype="float32",
+                 use_pallas=False, host_threads=2, eval_batch_mult=1)
+    state, history = train_lib.train(cfg, max_steps_per_epoch=2, epochs=1)
+    assert np.isfinite(history[0]["loss"])
