@@ -467,3 +467,51 @@ def test_full_avformer_forward_parity(synthetic_avformer_sd):
                       train=False)
     ours = np.asarray(out)[:, :12]
     np.testing.assert_allclose(ours, golden_logits, rtol=2e-3, atol=2e-4)
+
+
+def test_va_former_conversion_parity():
+    """VA_former (heads.py:341-372): 2-token analog of AU_former."""
+    import jax
+    from auformer.nn.heads import VAFormerHead
+
+    p = "vhead"
+    sd = {f"{p}.VA_BN1.weight": t(512) + 1,
+          f"{p}.VA_BN1.bias": t(512),
+          f"{p}.VA_BN1.running_mean": t(512),
+          f"{p}.VA_BN1.running_var": np.abs(t(512)) + 1,
+          f"{p}.pos_embedding": t(1, 2, 128)}
+    for i in (1, 2):
+        sd[f"{p}.VA_linear_p{i}.weight"] = t(128, 512)
+        sd[f"{p}.VA_linear_p{i}.bias"] = t(128)
+        sd[f"{p}.VA_linear_last{i}.weight"] = t(1, 128)
+    sd.update(make_transformer_sd(f"{p}.corr_transformer", 2, 128, 128))
+
+    c = Converter(sd)
+    c.va_former(p, p)
+    conv = c.result()
+    assert not c.missing
+
+    x = t(4, 512, scale=1.0)
+    h = golden_bn(torch.from_numpy(x), sd, f"{p}.VA_BN1")
+    tokens = torch.stack(
+        [h @ torch.from_numpy(sd[f"{p}.VA_linear_p{i}.weight"]).T
+         + torch.from_numpy(sd[f"{p}.VA_linear_p{i}.bias"])
+         for i in (1, 2)], dim=1)
+    z = tokens + torch.from_numpy(sd[f"{p}.pos_embedding"])
+    z = golden_transformer(z, sd, f"{p}.corr_transformer", 2)
+    golden = torch.cat(
+        [z[:, i - 1] @ torch.from_numpy(
+            sd[f"{p}.VA_linear_last{i}.weight"]).T for i in (1, 2)],
+        dim=1).numpy()
+
+    head = VAFormerHead()
+    variables = head.init(jax.random.PRNGKey(0), x, train=False)
+    merged = merge_into(
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"]},
+        {"params": conv["params"][p], "batch_stats": conv["batch_stats"][p]})
+    logits, _ = head.apply(
+        {"params": merged["params"], "batch_stats": merged["batch_stats"]},
+        x, train=False)
+    np.testing.assert_allclose(np.asarray(logits), golden,
+                               rtol=1e-4, atol=1e-5)
