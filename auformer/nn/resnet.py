@@ -88,16 +88,63 @@ def stem_maxpool(x):
     return nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
 
-class ResNetStem(nn.Module):
-    """conv7x7 s2 + BN + relu + maxpool3x3 s2."""
+class StemConv(nn.Module):
+    """The stem's 7x7 stride-2 conv, with an optional space-to-depth
+    evaluation path.
+
+    The parameter is ALWAYS (7, 7, C, width) HWIO under {conv1: {kernel}},
+    so checkpoints are interchangeable between modes. With
+    ``space_to_depth=True`` the same weights are reshuffled at trace time
+    (XLA constant-folds it) into a 4x4 stride-1 kernel over 2x2-packed
+    pixels — the classic TPU stem transform: a stride-2 7x7 conv on 3
+    channels under-fills the 128-lane MXU tiles; packing quadruples the
+    input features and removes the stride. Bit-equal in exact arithmetic.
+    Requires even H, W.
+    """
     width: int = 64
     dtype: Dtype = jnp.float32
+    space_to_depth: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        c_in = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (7, 7, c_in, self.width), jnp.float32)
+        if not self.space_to_depth:
+            return jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                window_strides=(2, 2), padding=((3, 3), (3, 3)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32).astype(self.dtype)
+
+        b, h, w, c = x.shape
+        assert h % 2 == 0 and w % 2 == 0, "s2d stem needs even H, W"
+        # pack 2x2 pixel blocks into channels, order (p, q, c)
+        xs = x.reshape(b, h // 2, 2, w // 2, 2, c)
+        xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+        # zero-pad the 7x7 kernel to 8x8 at the top-left (offsets -4..3),
+        # then W4[a, b, (p, q, c), o] = W8[2a + p, 2b + q, c, o]
+        k8 = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        k4 = k8.reshape(4, 2, 4, 2, c, self.width)
+        k4 = k4.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * c, self.width)
+        return jax.lax.conv_general_dilated(
+            xs.astype(self.dtype), k4.astype(self.dtype),
+            window_strides=(1, 1), padding=((2, 1), (2, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32).astype(self.dtype)
+
+
+class ResNetStem(nn.Module):
+    """conv7x7 s2 + BN + relu + maxpool3x3 s2 (see StemConv for the
+    optional space-to-depth evaluation)."""
+    width: int = 64
+    dtype: Dtype = jnp.float32
+    space_to_depth: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
-        x = nn.Conv(self.width, (7, 7), strides=(2, 2),
-                    padding=((3, 3), (3, 3)), use_bias=False,
-                    dtype=self.dtype, name="conv1")(x)
+        x = StemConv(self.width, self.dtype, self.space_to_depth,
+                     name="conv1")(x)
         x = BatchNorm(name="bn1", dtype=self.dtype)(
             x, use_running_average=not train)
         x = nn.relu(x)
@@ -122,10 +169,12 @@ class ResFormerTrunk(nn.Module):
     dropout: float = 0.0
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
+    s2d_stem: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool = False, deterministic: bool = True):
-        x = ResNetStem(64, self.dtype, name="stem")(x, train=train)
+        x = ResNetStem(64, self.dtype, self.s2d_stem,
+                       name="stem")(x, train=train)
         x = ResNetStage(64, self.layers[0], 1, 64, self.dtype,
                         name="layer1")(x, train=train)
         x = ResNetStage(128, self.layers[1], 2, 64, self.dtype,
@@ -155,10 +204,12 @@ class ResNet18(nn.Module):
     layers: Sequence[int] = (2, 2, 2, 2)
     num_classes: Optional[int] = None
     dtype: Dtype = jnp.float32
+    s2d_stem: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
-        x = ResNetStem(64, self.dtype, name="stem")(x, train=train)
+        x = ResNetStem(64, self.dtype, self.s2d_stem,
+                       name="stem")(x, train=train)
         x = ResNetStage(64, self.layers[0], 1, 64, self.dtype,
                         name="layer1")(x, train=train)
         x = ResNetStage(128, self.layers[1], 2, 64, self.dtype,
