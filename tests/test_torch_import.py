@@ -515,3 +515,19 @@ def test_va_former_conversion_parity():
         x, train=False)
     np.testing.assert_allclose(np.asarray(logits), golden,
                                rtol=1e-4, atol=1e-5)
+
+
+def test_s2d_stem_parity():
+    """space-to-depth stem evaluates the same conv1 weights identically
+    (trace-time reshuffle, shared param tree)."""
+    import jax
+    from auformer.nn.resnet import ResNetStem
+
+    rs = np.random.RandomState(3)
+    x = rs.randn(2, 32, 32, 3).astype(np.float32)
+    stem = ResNetStem(space_to_depth=False)
+    v = stem.init(jax.random.PRNGKey(0), x, train=False)
+    ref = stem.apply(v, x, train=False)
+    out = ResNetStem(space_to_depth=True).apply(v, x, train=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
