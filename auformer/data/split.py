@@ -35,6 +35,12 @@ def natsort_key(s: str):
     return [int(t) if t.isdigit() else t for t in re.split(r"(\d+)", s)]
 
 
+def _wav_sample_rate(path: str) -> int:
+    import wave
+    with wave.open(path, "rb") as w:
+        return w.getframerate()
+
+
 def read_timestamps(path: str, num_frames: int) -> np.ndarray:
     """timestamps_v2 file -> (num_frames,) ms array; short files repeat the
     last stamp (reference data_split.py:82-88 IndexError fallback)."""
@@ -88,6 +94,12 @@ def create_dataset_split(root: str, save_dir: str | None = None,
 
     for video_id in videos:
         meta = load_video_meta(root, video_id)
+        wav = os.path.join(root, video_id + ".wav")
+        if os.path.isfile(wav):
+            # the audio pipeline is hard-calibrated to 44.1 kHz
+            # (reference data_split.py:33-34 asserts the same)
+            sr = _wav_sample_rate(wav)
+            assert sr == 44100, f"{wav}: expected 44100 Hz, got {sr}"
         frames = list_frames(root, video_id)
         n = len(frames)
         ts_file = os.path.join(root, video_id + "_video_ts.txt")

@@ -163,3 +163,19 @@ def test_shard_indices_partition():
     shards = [shard_indices(ids, h, 4) for h in range(4)]
     assert sorted(sum(shards, [])) == ids
     assert max(len(s) for s in shards) - min(len(s) for s in shards) <= 1
+
+
+def test_split_rejects_wrong_sample_rate(tmp_path):
+    """44.1 kHz wav contract (reference data_split.py:33-34)."""
+    import json
+    from auformer.ops.audio_host import write_wav
+    root = str(tmp_path / "root")
+    d = os.path.join(root, "extracted", "vidX")
+    os.makedirs(d)
+    open(os.path.join(d, "00001.jpg"), "wb").close()
+    with open(os.path.join(root, "vidXmeta.json"), "w") as f:
+        json.dump({"num_frames": 1, "fps": 30.0, "AU": "train"}, f)
+    write_wav(os.path.join(root, "vidX.wav"),
+              np.zeros((1, 1000), np.float32), sample_rate=16000)
+    with pytest.raises(AssertionError, match="44100"):
+        create_dataset_split(root)
