@@ -103,6 +103,28 @@ class AvformerSweep:
         self.head_forward = head_forward
         self.fused_sweep = fused_sweep
 
+        @jax.jit
+        def fused_sweep_shared_audio(frames_u8, mel_shared, mel_cols, idx):
+            """Sweep with shared-spectrogram audio (opt-in, approximate):
+            one global mel power spectrogram per video; each label frame's
+            (64, 1001) feature map is a column gather + per-window dB floor
+            + normalize. Snapping window offsets to the 441-sample hop grid
+            shifts the analysis grid <=5 ms vs the reference's per-window
+            STFT — NOT bit-faithful (see docs/DESIGN.md), ~20x less mel
+            compute.
+
+            mel_shared: (n_mels, T_total) power mel of the whole video,
+            LEFT-extended with zeros so early windows can reach back.
+            mel_cols: (N, 1001) int32 column indices into mel_shared.
+            """
+            from .ops.audio import amplitude_to_db, normalize_spec
+            mel_win = mel_shared[:, mel_cols]               # (M, N, 1001)
+            mel_win = jnp.transpose(mel_win, (1, 0, 2))     # (N, M, 1001)
+            feats = normalize_spec(amplitude_to_db(mel_win))[:, None]
+            return fused_sweep(frames_u8, feats, idx)
+
+        self.fused_sweep_shared_audio = fused_sweep_shared_audio
+
     def black_feature(self, image_size: int) -> np.ndarray:
         black = np.zeros((1, image_size, image_size, 3), np.uint8)
         return np.asarray(self.frame_features(black))[0]
@@ -123,6 +145,76 @@ class AvformerSweep:
         idx = i - lf + d * (k + 1)
         oob = (idx < 0) | (idx >= n_frames_video)
         return np.where(oob, n_frames_video, idx)
+
+    def shared_audio_plan(self, timestamps_ms: np.ndarray,
+                          total_samples: int) -> np.ndarray:
+        """Column-gather plan for shared-spectrogram audio.
+
+        Returns (N, 1001) int32 indices into a padded global mel laid out
+        as [1001 zero cols | global mel | 1001 zero cols]; window offsets
+        are snapped to the 441-sample hop grid (<=5 ms shift vs the
+        reference's per-window grid).
+        """
+        from .ops import audio_host
+        cfg = self.cfg
+        n = len(timestamps_ms)
+        t_total = 1 + total_samples // 441
+        cols = np.zeros((n, cfg.mel_frames), np.int32)
+        k = np.arange(cfg.mel_frames)
+        for i, ts in enumerate(np.asarray(timestamps_ms)):
+            offset, nsamp = audio_host.audio_window_params(
+                float(ts), cfg.sample_rate, cfg.sample_len_frames,
+                cfg.audio_shift_samples)
+            nsamp = min(nsamp, max(total_samples - offset, 0))
+            g0 = int(round(offset / 441.0))
+            t_i = 1 + nsamp // 441
+            idx = g0 + t_i + k          # padded coords (see derivation)
+            cols[i] = np.clip(idx, 0, t_total + 2 * cfg.mel_frames - 1)
+        return cols
+
+    def sweep_video_shared_audio(self, frames_u8: np.ndarray,
+                                 wav: np.ndarray,
+                                 timestamps_ms: np.ndarray,
+                                 batch: int = 512) -> np.ndarray:
+        """Dense sweep with the approximate shared-spectrogram audio mode:
+        ONE global mel per video + per-window column gathers. frames_u8
+        (N,H,W,3), wav (L,) float32 full-video mono audio."""
+        from .ops.audio import mel_spectrogram
+        n = frames_u8.shape[0]
+        mel = np.asarray(mel_spectrogram(wav[None]))[0]     # (M, T_total)
+        pad = np.zeros((mel.shape[0], self.cfg.mel_frames), np.float32)
+        mel_padded = np.concatenate([pad, mel, pad], axis=1)
+        cols = self.shared_audio_plan(timestamps_ms, wav.shape[-1])
+
+        lf = self.cfg.label_frame
+        idx_full = self.window_indices(n)
+        out = np.zeros((n, 12), np.float32)
+        for s in range(0, n, batch):
+            cur = min(batch, n - s)
+            lo = max(s - lf, 0)
+            frames_chunk = frames_u8[lo:s + cur]
+            rows = idx_full[s:s + cur].copy()
+            black_slot = len(frames_chunk)
+            rows = np.where(rows == n, -1, rows) - lo
+            rows = np.where((rows < 0) | (rows >= black_slot),
+                            black_slot, rows)
+            cc = cols[s:s + cur]
+            fpad = batch + lf - len(frames_chunk)
+            if fpad:
+                frames_chunk = np.concatenate(
+                    [frames_chunk,
+                     np.zeros((fpad,) + frames_chunk.shape[1:], np.uint8)])
+            if cur < batch:
+                rows = np.concatenate(
+                    [rows, np.full((batch - cur, rows.shape[1]),
+                                   black_slot)])
+                cc = np.concatenate(
+                    [cc, np.repeat(cc[-1:], batch - cur, axis=0)])
+            rows = np.where(rows == black_slot, batch + lf, rows)
+            logits = np.asarray(self.fused_sweep_shared_audio(
+                frames_chunk, mel_padded, cc, rows))
+            out[s:s + cur] = logits[:cur]
+        return out
 
     def sweep_video(self, frames_u8: np.ndarray,
                     audio_features: np.ndarray,

@@ -75,3 +75,60 @@ def test_run_inference_sweep_matches_batched(tmp_path):
     t1 = (tmp_path / "r1" / "au" / "vid003.txt").read_text()
     t2 = (tmp_path / "r2" / "au" / "vid003.txt").read_text()
     assert t1 == t2
+
+
+def test_shared_audio_mode_close_to_exact():
+    """Opt-in shared-spectrogram audio: grid-snapped windows produce mel
+    features near the exact per-window pipeline (interior columns match;
+    only STFT boundary frames and the <=5 ms snap differ)."""
+    from auformer.ops import audio_host
+    from auformer.ops.audio import mel_spectrogram
+
+    cfg = Config(model_name="avformer", modality="A;V", task="AU",
+                 n_frames=4, dilation=2, image_size=32,
+                 compute_dtype="float32", use_pallas=False)
+    _, variables = init_model(cfg)
+    sweep = AvformerSweep(cfg, variables)
+
+    rs = np.random.RandomState(1)
+    sr = 44100
+    wav = (rs.randn(3 * sr) * 0.1).astype(np.float32)
+    # timestamps chosen so int(ts*44.1) is a multiple of 441 (grid-aligned)
+    ts = np.array([441 * 120 / 44.1, 441 * 180 / 44.1, 441 * 250 / 44.1])
+
+    cols = sweep.shared_audio_plan(ts, len(wav))
+    assert cols.shape == (3, 1001)
+    mel = np.asarray(mel_spectrogram(wav[None]))[0]
+    pad = np.zeros((64, 1001), np.float32)
+    mp = np.concatenate([pad, mel, pad], axis=1)
+
+    for i, t in enumerate(ts):
+        offset, nsamp = audio_host.audio_window_params(float(t))
+        nsamp = min(nsamp, len(wav) - offset)
+        exact, _ = audio_host.reference_audio_features(
+            wav[None, offset:offset + nsamp])
+        got_power = mp[:, cols[i]]                      # (64, 1001) power
+        db = audio_host.amplitude_to_db_host(got_power)
+        got = (db - (-14.8)) / 19.895
+        # interior columns (skip 3 boundary frames each side + the pad
+        # junction) match the exact per-window pipeline
+        t_valid = 1 + nsamp // 441
+        sl = slice(1001 - t_valid + 3, 1001 - 3)
+        np.testing.assert_allclose(got[:, sl], exact[0][:, sl],
+                                   rtol=2e-3, atol=2e-2)
+
+
+def test_sweep_shared_audio_runs_end_to_end():
+    cfg = Config(model_name="avformer", modality="A;V", task="AU",
+                 n_frames=4, dilation=2, image_size=32,
+                 compute_dtype="float32", use_pallas=False)
+    _, variables = init_model(cfg)
+    sweep = AvformerSweep(cfg, variables)
+    rs = np.random.RandomState(2)
+    n = 10
+    frames = rs.randint(0, 256, (n, 32, 32, 3)).astype(np.uint8)
+    wav = (rs.randn(2 * 44100) * 0.1).astype(np.float32)
+    ts = np.arange(n) * 33.367 + 500.0
+    out = sweep.sweep_video_shared_audio(frames, wav, ts, batch=8)
+    assert out.shape == (n, 12)
+    assert np.isfinite(out).all()
