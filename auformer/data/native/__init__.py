@@ -24,13 +24,21 @@ _build_error: str | None = None
 def _build() -> str | None:
     if os.path.isfile(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
         return None
+    # build to a unique temp name and rename: atomic vs concurrent builders
+    tmp = f"{_SO}.{os.getpid()}.tmp"
     cmd = ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-pthread",
-           _SRC, "-o", _SO, "-ljpeg"]
+           _SRC, "-o", tmp, "-ljpeg"]
     try:
         r = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
     except (OSError, subprocess.TimeoutExpired) as e:
         return str(e)
-    return None if r.returncode == 0 else r.stderr[-2000:]
+    if r.returncode != 0:
+        return r.stderr[-2000:]
+    try:
+        os.replace(tmp, _SO)
+    except OSError as e:
+        return str(e)
+    return None
 
 
 def _load():
