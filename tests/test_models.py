@@ -115,3 +115,30 @@ def test_param_count_sanity():
     n = sum(int(np.prod(p.shape))
             for p in jax.tree_util.tree_leaves(variables["params"]))
     assert 20e6 < n < 60e6, f"param count {n/1e6:.1f}M out of range"
+
+
+@pytest.mark.parametrize("name,modality,t", [
+    ("van", "V", 1),
+    ("mc3d", "V", 4),
+])
+def test_backbone_grad_flow(name, modality, t):
+    """Training-path smoke for the non-resnet backbones: gradients exist
+    and are finite through VAN's LKA blocks / MC3's 3D convs."""
+    cfg = tiny_cfg(name, modality)
+    model, variables = init_model(cfg)
+    x = example_batch(cfg, batch_size=2)
+    suite = loss_suite(model)
+    labels = np.tile(np.array([[1, 0] * 6], np.float32), (2, 1))
+
+    def loss_fn(params):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            x, train=True, rngs={"dropout": jax.random.PRNGKey(0)},
+            mutable=["batch_stats"])
+        return suite.get_au_loss(out, labels)
+
+    g = jax.grad(loss_fn)(variables["params"])
+    flat = jax.tree_util.tree_leaves(g)
+    norms = [float(jnp.abs(l).sum()) for l in flat]
+    assert all(np.isfinite(n) for n in norms)
+    assert sum(n > 0 for n in norms) > len(norms) * 0.4
