@@ -58,11 +58,14 @@ class Aff2CompDataset:
         self.extracted_dir = os.path.join(cfg.root, "extracted")
         label_dir = cfg.lmdb_label_dir
 
+        # every store is optional (reference wraps the env opens in
+        # try/except, aff2compdataset.py:25-36); missing label stores
+        # degrade to sentinel labels — the test-only-box case
         self.env_image = open_store(os.path.join(label_dir, STORE_IMAGES))
         self.env_mask = open_store(os.path.join(label_dir, STORE_MASKS))
-        self.env_au = FrameStore(os.path.join(label_dir, STORE_AU))
-        self.env_ex = FrameStore(os.path.join(label_dir, STORE_EX))
-        self.env_va = FrameStore(os.path.join(label_dir, STORE_VA))
+        self.env_au = open_store(os.path.join(label_dir, STORE_AU))
+        self.env_ex = open_store(os.path.join(label_dir, STORE_EX))
+        self.env_va = open_store(os.path.join(label_dir, STORE_VA))
 
         # native C++ reader (mmap + off-GIL batched libjpeg decode); pure
         # Python path is the fallback (data/native)
@@ -102,20 +105,7 @@ class Aff2CompDataset:
         self.n_mels = cfg.n_mels
         self.audio_on_device = False
 
-        cache = os.path.join(cfg.cache_dir, f"split_dict_{self.task}.pkl")
-        if not os.path.isfile(cache):
-            split = create_dataset_split(cfg.root, save_dir=cfg.cache_dir)
-            split = split[self.task]
-        else:
-            with open(cache, "rb") as f:
-                split = pickle.load(f)
-        self.time_stamps = split["timestamp"]
-        self.image_path = list(split["image_path"])
-        self.train_ids = np.asarray(split["train"])
-        self.val_ids = np.asarray(split["val"])
-        self.test_ids = np.asarray(split.get("test",
-                                             np.zeros_like(self.train_ids)))
-        self.video_db_nr = np.asarray(split["video_db_nr"])
+        self._load_split()
 
         self.use_mask = "M" in cfg.modality
         self.use_audio = "A" in cfg.modality.split(";")
@@ -134,6 +124,27 @@ class Aff2CompDataset:
         self._decode_cache: OrderedDict[str, np.ndarray] = OrderedDict()
         self._cache_lock = threading.Lock()
         self.decode_cache_size = 4096
+
+    def _load_split(self) -> None:
+        """Load (or build) the train/val split arrays. Aff2TestDataset
+        overrides this to read the test pickle directly, so a test-only
+        box never triggers the train-split bootstrap (reference
+        testset.py:64-68 contract)."""
+        cfg = self.cfg
+        cache = os.path.join(cfg.cache_dir, f"split_dict_{self.task}.pkl")
+        if not os.path.isfile(cache):
+            split = create_dataset_split(cfg.root, save_dir=cfg.cache_dir)
+            split = split[self.task]
+        else:
+            with open(cache, "rb") as f:
+                split = pickle.load(f)
+        self.time_stamps = split["timestamp"]
+        self.image_path = list(split["image_path"])
+        self.train_ids = np.asarray(split["train"])
+        self.val_ids = np.asarray(split["val"])
+        self.test_ids = np.asarray(split.get("test",
+                                             np.zeros_like(self.train_ids)))
+        self.video_db_nr = np.asarray(split["video_db_nr"])
 
     # -- reference setters (aff2compdataset.py:104-112) ----------------------
     def set_clip_len(self, clip_len):
@@ -173,15 +184,15 @@ class Aff2CompDataset:
         (aff2compdataset.py:249-289)."""
         key = self._store_key(video_frame)
         if task == "au":
-            buf = self.env_au.get(key)
+            buf = self.env_au.get(key) if self.env_au is not None else None
             return (np.frombuffer(buf, np.int8).copy() if buf is not None
                     else -1 * np.ones(12, np.int8))
         if task == "ex":
-            buf = self.env_ex.get(key)
+            buf = self.env_ex.get(key) if self.env_ex is not None else None
             return (np.frombuffer(buf, np.int8).copy() if buf is not None
                     else -1 * np.ones(1, np.int8))
         if task == "va":
-            buf = self.env_va.get(key)
+            buf = self.env_va.get(key) if self.env_va is not None else None
             return (np.frombuffer(buf, np.float32).copy() if buf is not None
                     else -5.0 * np.ones(2, np.float32))
         raise ValueError(task)

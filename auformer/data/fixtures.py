@@ -45,7 +45,8 @@ def generate_synthetic_dataset(root: str, label_dir: str,
                                fps: float = 30.0,
                                seed: int = 0,
                                with_masks: bool = True,
-                               audio_secs: float | None = None) -> dict:
+                               audio_secs: float | None = None,
+                               splits: list | None = None) -> dict:
     rs = np.random.RandomState(seed)
     os.makedirs(root, exist_ok=True)
     os.makedirs(label_dir, exist_ok=True)
@@ -57,7 +58,7 @@ def generate_synthetic_dataset(root: str, label_dir: str,
     va_w = FrameStoreWriter(os.path.join(label_dir, STORE_VA))
 
     v2o = {}
-    splits = ["train", "train", "val", "test"]
+    splits = splits or ["train", "train", "val", "test"]
     for vi in range(n_videos):
         video_id = f"vid{vi:03d}"
         v2o[video_id] = video_id

@@ -23,13 +23,16 @@ class Video:
         self.meta = self._load_or_probe_meta(write)
 
     def _meta_path(self) -> str:
-        return os.path.splitext(self.path)[0] + "meta.json"
+        # reference cache name keeps the extension: <video.mp4>meta.json
+        # (dataloader/video.py:20), so pre-existing reference caches load
+        return self.path + "meta.json"
 
     def _load_or_probe_meta(self, write: bool) -> dict:
-        mp = self._meta_path()
-        if os.path.isfile(mp):
-            with open(mp) as f:
-                return json.load(f)
+        legacy = os.path.splitext(self.path)[0] + "meta.json"
+        for mp in (self._meta_path(), legacy):
+            if os.path.isfile(mp):
+                with open(mp) as f:
+                    return json.load(f)
         cap = self._capture()
         meta = {
             "num_frames": int(cap.get(cv2.CAP_PROP_FRAME_COUNT)),

@@ -110,12 +110,15 @@ class StemConv(nn.Module):
         c_in = x.shape[-1]
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (7, 7, c_in, self.width), jnp.float32)
+        # no preferred_element_type: the MXU accumulates f32 for bf16
+        # convs regardless, the output is cast to dtype right away, and
+        # a widened output dtype breaks the conv's AD transpose rule
+        # (bf16/f32 mismatch in _conv_general_dilated_transpose_rhs)
         if not self.space_to_depth:
             return jax.lax.conv_general_dilated(
                 x.astype(self.dtype), kernel.astype(self.dtype),
                 window_strides=(2, 2), padding=((3, 3), (3, 3)),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.float32).astype(self.dtype)
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
         b, h, w, c = x.shape
         assert h % 2 == 0 and w % 2 == 0, "s2d stem needs even H, W"
@@ -130,8 +133,7 @@ class StemConv(nn.Module):
         return jax.lax.conv_general_dilated(
             xs.astype(self.dtype), k4.astype(self.dtype),
             window_strides=(1, 1), padding=((2, 1), (2, 1)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32).astype(self.dtype)
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
 class ResNetStem(nn.Module):

@@ -25,13 +25,15 @@ class Bottleneck(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
+        # the VGGFace2 repo's bottleneck strides conv1, not conv2
+        # (vggformer.py:30: conv1 kernel_size=1 stride=stride)
         identity = x
-        out = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype,
-                      name="conv1")(x)
+        out = nn.Conv(self.planes, (1, 1), strides=(self.stride,) * 2,
+                      use_bias=False, dtype=self.dtype, name="conv1")(x)
         out = BatchNorm(name="bn1", dtype=self.dtype)(
             out, use_running_average=not train)
         out = nn.relu(out)
-        out = nn.Conv(self.planes, (3, 3), strides=(self.stride,) * 2,
+        out = nn.Conv(self.planes, (3, 3),
                       padding=((1, 1), (1, 1)), use_bias=False,
                       dtype=self.dtype, name="conv2")(out)
         out = BatchNorm(name="bn2", dtype=self.dtype)(

@@ -132,7 +132,16 @@ _pallas_attention_ad.defvjp(_pallas_attention_fwd, _pallas_attention_bwd)
 def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
                     mask: Optional[jax.Array] = None,
                     use_pallas: bool = False) -> jax.Array:
-    """Dispatch between the Pallas fused kernel and the XLA einsum path."""
+    """Dispatch between the Pallas fused kernel and the XLA einsum path.
+
+    NOTE the fallback is SILENT: any mask, a non-TPU backend, or a missing
+    pltpu import routes to the XLA path. At this framework's sequence
+    lengths (12/17/49/129 tokens) the difference is small — the fused
+    kernel mainly saves the (B, H, N, N) HBM round trip — but profiles
+    showing einsum-softmax-einsum instead of a single fused op mean this
+    branch was taken; no reference model passes a mask today
+    (vformer.py:87 asserts masks unsupported).
+    """
     if (use_pallas and mask is None and _HAS_PLTPU
             and jax.default_backend() == "tpu"):
         return _pallas_attention_ad(q, k, v, scale)

@@ -172,10 +172,17 @@ def make_train_step(cfg: Config, model, suite: LossSuite,
         metrics = {"loss": loss, **parts}
         return new_state, metrics
 
-    # GSPMD: the step is a global program; the feed places the batch with a
-    # 'data'-sharded NamedSharding (core.mesh.shard_batch) and jit propagates
-    # shardings, inserting grad/BN-stat collectives over ICI automatically.
-    return jax.jit(step, donate_argnums=(0,) if donate else ())
+    # GSPMD: the step is a global program. With a mesh the shardings are
+    # explicit jit constraints — state replicated, batch split over 'data'
+    # — rather than relying purely on input placement; GSPMD then inserts
+    # the grad/BN-stat psum collectives over ICI automatically.
+    donate_arg = (0,) if donate else ()
+    if mesh is not None:
+        repl = NamedSharding(mesh, P())
+        data_sh = NamedSharding(mesh, P("data"))
+        return jax.jit(step, donate_argnums=donate_arg,
+                       in_shardings=(repl, data_sh, repl))
+    return jax.jit(step, donate_argnums=donate_arg)
 
 
 def make_eval_step(cfg: Config, model, suite: LossSuite,
@@ -192,4 +199,8 @@ def make_eval_step(cfg: Config, model, suite: LossSuite,
         loss, _ = task_loss(suite, task, out, labels)
         return out.astype(jnp.float32), loss
 
+    if mesh is not None:
+        repl = NamedSharding(mesh, P())
+        data_sh = NamedSharding(mesh, P("data"))
+        return jax.jit(step, in_shardings=(repl, repl, data_sh))
     return jax.jit(step)

@@ -125,6 +125,39 @@ class AvformerSweep:
 
         self.fused_sweep_shared_audio = fused_sweep_shared_audio
 
+        @jax.jit
+        def fused_sweep_device_audio(frames_u8, wav_ext, starts, n_valid,
+                                     idx):
+            """Sweep with per-video DEVICE-RESIDENT audio: each window is
+            gathered from the whole-video waveform on device and the mel
+            frontend runs fused with the sweep, so the host ships one wav
+            per video instead of 441000 floats per clip. EXACT for full
+            10 s windows; short windows (video edges) reproduce the
+            left-zero-pad semantics of ops.audio.audio_frontend (the
+            reflect-pad junction caveat documented there).
+
+            wav_ext: (L + 2*441000,) f32 = [zeros | wav | zeros].
+            starts:  (N,) int32 window starts in padded coords
+                     (= offset + n_valid; see sweep_video_device_audio).
+            n_valid: (N,) int32 true sample count of each window.
+            """
+            from .ops.audio import audio_frontend
+            slen = self.cfg.sample_len_frames
+            # contiguous dynamic_slice per window via lax.map — a fancy-index
+            # gather of (N, 441000) runs at element granularity on TPU and
+            # measured 40x slower (2.0s vs 0.05s per 512-window bucket)
+            win = jax.lax.map(
+                lambda s: jax.lax.dynamic_slice(wav_ext, (s,), (slen,)),
+                starts, batch_size=64)                      # (N, 441000)
+            k = jnp.arange(slen, dtype=jnp.int32)
+            win = jnp.where(k[None, :] >= slen - n_valid[:, None], win, 0.0)
+            feats = audio_frontend(win, feature_len=1 + n_valid // 441,
+                                   n_mels=self.cfg.n_mels,
+                                   out_frames=self.cfg.mel_frames)
+            return fused_sweep(frames_u8, feats, idx)
+
+        self.fused_sweep_device_audio = fused_sweep_device_audio
+
     def black_feature(self, image_size: int) -> np.ndarray:
         black = np.zeros((1, image_size, image_size, 3), np.uint8)
         return np.asarray(self.frame_features(black))[0]
@@ -214,6 +247,97 @@ class AvformerSweep:
             logits = np.asarray(self.fused_sweep_shared_audio(
                 frames_chunk, mel_padded, cc, rows))
             out[s:s + cur] = logits[:cur]
+        return out
+
+    def audio_window_plan(self, timestamps_ms: np.ndarray,
+                          total_samples: int
+                          ) -> tuple[np.ndarray, np.ndarray]:
+        """(starts, n_valid) int32 arrays for fused_sweep_device_audio.
+
+        Window math mirrors the reference's torchaudio.load(offset,
+        num_frames) call (aff2compdataset.py:218-226 via
+        audio_host.audio_window_params), with the actual-file-length clamp
+        load_wav applies. In padded [zeros|wav|zeros] coordinates a window
+        whose valid samples are right-aligned starts at offset + n_valid.
+        """
+        from .ops import audio_host
+        cfg = self.cfg
+        n = len(timestamps_ms)
+        starts = np.zeros(n, np.int32)
+        n_valid = np.zeros(n, np.int32)
+        for i, ts in enumerate(np.asarray(timestamps_ms)):
+            offset, want = audio_host.audio_window_params(
+                float(ts), cfg.sample_rate, cfg.sample_len_frames,
+                cfg.audio_shift_samples)
+            nv = max(min(want, total_samples - min(offset, total_samples)), 0)
+            starts[i] = min(offset, total_samples) + nv
+            n_valid[i] = nv
+        return starts, n_valid
+
+    def sweep_video_device_audio(self, frames_u8: np.ndarray,
+                                 wav: np.ndarray,
+                                 timestamps_ms: np.ndarray,
+                                 batch: int = 512) -> np.ndarray:
+        """Dense sweep shipping the video's audio to the device ONCE.
+
+        frames_u8 (N,H,W,3) uint8, wav (L,) float32 full-video mono,
+        timestamps_ms (N,). The per-window gather + mel run inside the
+        fused device program (fused_sweep_device_audio).
+        """
+        import jax as _jax
+        cfg = self.cfg
+        n = frames_u8.shape[0]
+        slen = cfg.sample_len_frames
+        wav = np.asarray(wav, np.float32).reshape(-1)
+        # round the device buffer up to whole minutes: one compiled program
+        # per minute-bucket of video length instead of one per video
+        bucket_samples = 60 * cfg.sample_rate
+        l_pad = -(-max(wav.shape[0], 1) // bucket_samples) * bucket_samples
+        wav_ext = np.zeros(l_pad + 2 * slen, np.float32)
+        wav_ext[slen:slen + wav.shape[0]] = wav
+        wav_dev = _jax.device_put(wav_ext)
+        starts, n_valid = self.audio_window_plan(timestamps_ms, wav.shape[0])
+
+        lf = cfg.label_frame
+        idx_full = self.window_indices(n)
+        out = np.zeros((n, 12), np.float32)
+        # dispatch every bucket asynchronously and fetch ONE concatenated
+        # result per video: the attached chip's RPC tunnel charges >1s per
+        # device->host fetch regardless of size, so per-bucket fetches
+        # dominate the sweep (VERDICT round-2 e2e work)
+        pending = []  # (s, cur, device future)
+        for s in range(0, n, batch):
+            cur = min(batch, n - s)
+            lo = max(s - lf, 0)
+            frames_chunk = frames_u8[lo:s + cur]
+            rows = idx_full[s:s + cur].copy()
+            black_slot = len(frames_chunk)
+            rows = np.where(rows == n, -1, rows) - lo
+            rows = np.where((rows < 0) | (rows >= black_slot),
+                            black_slot, rows)
+            st = starts[s:s + cur]
+            nv = n_valid[s:s + cur]
+            fpad = batch + lf - len(frames_chunk)
+            if fpad:
+                frames_chunk = np.concatenate(
+                    [frames_chunk,
+                     np.zeros((fpad,) + frames_chunk.shape[1:], np.uint8)])
+            if cur < batch:
+                rows = np.concatenate(
+                    [rows, np.full((batch - cur, rows.shape[1]),
+                                   black_slot)])
+                st = np.concatenate([st, np.repeat(st[-1:], batch - cur)])
+                nv = np.concatenate([nv, np.repeat(nv[-1:], batch - cur)])
+            rows = np.where(rows == black_slot, batch + lf, rows)
+            fut = self.fused_sweep_device_audio(
+                frames_chunk, wav_dev, st, nv, rows)
+            pending.append((s, cur, fut))
+        if pending:
+            cat = np.asarray(jnp.concatenate([f for _, _, f in pending]))
+            o = 0
+            for ps, pcur, f in pending:
+                out[ps:ps + pcur] = cat[o:o + pcur]
+                o += f.shape[0]
         return out
 
     def sweep_video(self, frames_u8: np.ndarray,

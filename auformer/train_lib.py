@@ -24,7 +24,7 @@ from .core.observability import RecorderMeter, StepTimer
 from .core.mesh import make_mesh, shard_batch
 from .core.prng import key_seq, setup_seed
 from .data import (Aff2CompDataset, DataLoader, Prefetcher,
-                   SubsetSequentialSampler)
+                   SubsetSequentialSampler, shard_indices)
 from .metrics import AccF1Metric, CCCMetric, MultiLabelAccF1, composite_scores
 from .nn import init_model, loss_suite
 from .parallel import TrainState, create_train_state, make_eval_step, \
@@ -153,6 +153,11 @@ def train(cfg: Config, dataset=None, max_steps_per_epoch: int | None = None,
         if hasattr(dataset, "aug_seed"):
             dataset.aug_seed = cfg.seed * 100003 + epoch
         train_ids = np.nonzero(dataset.train_ids * downsample)[0]
+        # per-host input sharding: under multi-host DCN each process feeds
+        # a disjoint stride of the epoch's indices (SURVEY.md §2.2 table;
+        # single-host is the identity)
+        train_ids = shard_indices(train_ids, jax.process_index(),
+                                  jax.process_count())
         loader = DataLoader(dataset, cfg.batch_size,
                             SubsetSequentialSampler(train_ids, shuffle=True),
                             num_threads=cfg.host_threads, drop_last=True,
@@ -208,6 +213,8 @@ def train(cfg: Config, dataset=None, max_steps_per_epoch: int | None = None,
 
         dataset.set_aug(False)
         val_ids = np.nonzero(dataset.val_ids * downsample)[0]
+        val_ids = shard_indices(val_ids, jax.process_index(),
+                                jax.process_count())
         val_bs = cfg.batch_size * cfg.eval_batch_mult
         val_loader = DataLoader(dataset, val_bs,
                                 SubsetSequentialSampler(val_ids, shuffle=True),

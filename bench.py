@@ -5,33 +5,67 @@ frame scored, exactly the reference's test+val submission workload
 (test_aff2.py:93-117, "5+ hours" at batch 1 on a 2080 Ti). The sweep
 computes bit-identical clip logits while running the visual trunk once per
 frame instead of once per window; the on-device mel frontend is included.
-A secondary field reports the plain clip-batch path (independent windows,
-no frame reuse — the fair number for random-access inference).
+Secondary fields report the plain clip-batch path (independent windows, no
+frame reuse) and the END-TO-END decode->fused-infer rate over a synthetic
+FrameStore of real 112x112 JPEGs (host store reads + JPEG decode + wav
+read included; auformer/serve.py::sweep_serve_benchmark).
 
 One JSON line:
     {"metric": "clips_per_sec_per_chip", "value": N, "unit": "clips/s",
      "vs_baseline": R, "mode": "dense_sweep",
-     "clip_batch_clips_per_sec": M}
+     "clip_batch_clips_per_sec": M, "e2e_decode_infer_clips_per_sec": K}
 
-Measurement notes: the attached chip sits behind an RPC tunnel with ~30 ms
-dispatch round-trip and a block_until_ready that returns early, so timed
-regions loop inside ONE jitted lax.fori_loop (inputs perturbed per
-iteration against loop hoisting) and fetch a single scalar.
+Robustness (VERDICT.md round 1): the attached chip sits behind an
+experimental RPC tunnel that can throw transient INTERNAL errors at any
+fetch. The measurement therefore runs in a SUBPROCESS (fresh backend per
+attempt): 2 attempts with the Pallas attention kernel, 1 with
+--no_pallas, then a degraded CPU-mesh run — the orchestrator always emits
+the JSON line and exits 0 if any attempt lands.
+
+Measurement notes: the tunnel has ~30 ms dispatch round-trip and a
+block_until_ready that returns early, so timed regions loop inside ONE
+jitted lax.fori_loop (inputs perturbed per iteration against loop
+hoisting) and fetch a single scalar. The e2e section is a genuine host
+pipeline and is timed with wall clocks around real work.
 
 vs_baseline: the reference's sweep rate is estimated at ~39 clips/s
 (~700k test+val frames / 5 h, test_aff2.py:82).
 """
 from __future__ import annotations
 
+import argparse
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
 
-BASELINE_CLIPS_PER_SEC = 39.0  # see module docstring
+BASELINE_CLIPS_PER_SEC = 39.0
+REPO = os.path.dirname(os.path.abspath(__file__))
+E2E_CACHE = os.path.join(REPO, ".cache", "bench_e2e")
+E2E_VIDEOS = 2
+E2E_FRAMES = 5120  # 2 x 5120 = 10240 test clips
 
 
-def main():
+def _ensure_e2e_dataset():
+    """Synthetic all-test dataset of real 112x112 JPEGs (cached on disk)."""
+    from auformer.data.fixtures import generate_synthetic_dataset
+    marker = os.path.join(E2E_CACHE, "root", "video2orignal.pkl")
+    if not os.path.isfile(marker):
+        generate_synthetic_dataset(
+            os.path.join(E2E_CACHE, "root"),
+            os.path.join(E2E_CACHE, "labels"),
+            n_videos=E2E_VIDEOS, frames_per_video=E2E_FRAMES,
+            image_size=112, splits=["test"],
+            audio_secs=E2E_FRAMES / 30.0 + 0.5)
+    return (os.path.join(E2E_CACHE, "root"),
+            os.path.join(E2E_CACHE, "labels"),
+            os.path.join(E2E_CACHE, "cache"))
+
+
+def measure(use_pallas: bool, cpu_mode: bool) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -41,82 +75,193 @@ def main():
     from auformer.ops.preprocess import normalize_clip
     from auformer.sweep import AvformerSweep
 
-    on_tpu = jax.default_backend() == "tpu"
+    on_tpu = (not cpu_mode) and jax.default_backend() == "tpu"
     cfg = Config(model_name="avformer", modality="A;V", task="AU",
                  n_frames=16, image_size=112,
                  compute_dtype="bfloat16" if on_tpu else "float32",
-                 use_pallas=on_tpu)
+                 use_pallas=use_pallas and on_tpu)
     model, variables = init_model(cfg)
     rs = np.random.RandomState(0)
     cdt = jnp.bfloat16 if on_tpu else jnp.float32
 
+    clip_rate = sweep_rate = e2e = None
+    errors = {}
+
     # ---- clip-batch path (independent windows) ----
-    batch = 128 if on_tpu else 4
-    steps = 20 if on_tpu else 2
+    try:
+        batch = 128 if on_tpu else 4
+        steps = 20 if on_tpu else 2
 
-    def one_clip_step(variables, clip_u8, audio_raw):
-        feats = audio_frontend(audio_raw)
-        x = {"clip": normalize_clip(clip_u8, dtype=cdt),
-             "audio_features": feats}
-        out = model.apply(variables, x, train=False)
-        return jnp.sum(out[:, :12].astype(jnp.float32))
+        def one_clip_step(variables, clip_u8, audio_raw):
+            feats = audio_frontend(audio_raw)
+            x = {"clip": normalize_clip(clip_u8, dtype=cdt),
+                 "audio_features": feats}
+            out = model.apply(variables, x, train=False)
+            return jnp.sum(out[:, :12].astype(jnp.float32))
 
-    @jax.jit
-    def run_clip(variables, clip_u8, audio_raw, n):
-        def body(i, acc):
-            c = clip_u8.at[0, 0, 0, 0, 0].set((i % 255).astype(jnp.uint8))
-            a = audio_raw.at[0, 0].set(i.astype(jnp.float32) * 1e-6)
-            return acc + one_clip_step(variables, c, a)
-        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+        @jax.jit
+        def run_clip(variables, clip_u8, audio_raw, n):
+            def body(i, acc):
+                c = clip_u8.at[0, 0, 0, 0, 0].set((i % 255).astype(jnp.uint8))
+                a = audio_raw.at[0, 0].set(i.astype(jnp.float32) * 1e-6)
+                return acc + one_clip_step(variables, c, a)
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
-    clip = jax.device_put(
-        rs.randint(0, 256, (batch, 16, 112, 112, 3)).astype(np.uint8))
-    audio = jax.device_put(
-        (rs.randn(batch, 441000) * 0.1).astype(np.float32))
-    np.asarray(run_clip(variables, clip, audio, 2))
-    t0 = time.perf_counter()
-    np.asarray(run_clip(variables, clip, audio, steps))
-    clip_rate = batch * steps / (time.perf_counter() - t0)
+        clip = jax.device_put(
+            rs.randint(0, 256, (batch, 16, 112, 112, 3)).astype(np.uint8))
+        audio = jax.device_put(
+            (rs.randn(batch, 441000) * 0.1).astype(np.float32))
+        np.asarray(run_clip(variables, clip, audio, 2))
+        t0 = time.perf_counter()
+        np.asarray(run_clip(variables, clip, audio, steps))
+        clip_rate = batch * steps / (time.perf_counter() - t0)
+    except Exception as e:  # transient tunnel errors must not kill the run
+        errors["clip_batch"] = repr(e)[:300]
 
-    # ---- dense-sweep path (frame-feature reuse) ----
-    bucket = 512 if on_tpu else 8
-    sweep_steps = 10 if on_tpu else 1
-    sw = AvformerSweep(cfg, variables)
-    lf = cfg.label_frame
-    t_clip = cfg.n_frames
-    frames = jax.device_put(rs.randint(
-        0, 256, (bucket + lf, cfg.image_size, cfg.image_size, 3)
-    ).astype(np.uint8))
-    audio_raw = jax.device_put(
-        (rs.randn(bucket, 441000) * 0.1).astype(np.float32))
-    idx = jax.device_put(np.clip(
-        np.arange(bucket)[:, None]
-        + np.arange(0, lf, cfg.dilation)[None, :], 0,
-        bucket + lf).astype(np.int32))
+    # ---- dense-sweep path (frame-feature reuse; PRIMARY) ----
+    try:
+        bucket = 512 if on_tpu else 8
+        sweep_steps = 10 if on_tpu else 1
+        sw = AvformerSweep(cfg, variables)
+        lf = cfg.label_frame
+        frames = jax.device_put(rs.randint(
+            0, 256, (bucket + lf, cfg.image_size, cfg.image_size, 3)
+        ).astype(np.uint8))
+        audio_raw = jax.device_put(
+            (rs.randn(bucket, 441000) * 0.1).astype(np.float32))
+        idx = jax.device_put(np.clip(
+            np.arange(bucket)[:, None]
+            + np.arange(0, lf, cfg.dilation)[None, :], 0,
+            bucket + lf).astype(np.int32))
 
-    @jax.jit
-    def run_sweep(frames, audio_raw, idx, n):
-        def body(i, acc):
-            f = frames.at[0, 0, 0, 0].set((i % 255).astype(jnp.uint8))
-            a = audio_raw.at[0, 0].set(i.astype(jnp.float32) * 1e-6)
-            feats = audio_frontend(a)
-            out = sw.fused_sweep(f, feats, idx)
-            return acc + jnp.sum(out.astype(jnp.float32))
-        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+        @jax.jit
+        def run_sweep(frames, audio_raw, idx, n):
+            def body(i, acc):
+                f = frames.at[0, 0, 0, 0].set((i % 255).astype(jnp.uint8))
+                a = audio_raw.at[0, 0].set(i.astype(jnp.float32) * 1e-6)
+                feats = audio_frontend(a)
+                out = sw.fused_sweep(f, feats, idx)
+                return acc + jnp.sum(out.astype(jnp.float32))
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
-    np.asarray(run_sweep(frames, audio_raw, idx, 2))
-    t0 = time.perf_counter()
-    np.asarray(run_sweep(frames, audio_raw, idx, sweep_steps))
-    sweep_rate = bucket * sweep_steps / (time.perf_counter() - t0)
+        np.asarray(run_sweep(frames, audio_raw, idx, 2))
+        t0 = time.perf_counter()
+        np.asarray(run_sweep(frames, audio_raw, idx, sweep_steps))
+        sweep_rate = bucket * sweep_steps / (time.perf_counter() - t0)
+    except Exception as e:
+        errors["dense_sweep"] = repr(e)[:300]
+
+    # ---- end-to-end decode->fused infer over a real FrameStore ----
+    if on_tpu:
+        try:
+            from auformer.data.testset import Aff2TestDataset
+            from auformer.serve import sweep_serve_benchmark
+            root, labels, cache = _ensure_e2e_dataset()
+            e2e_cfg = Config(root=root, lmdb_label_dir=labels,
+                             cache_dir=cache,
+                             exp_dir=os.path.join(E2E_CACHE, "exp"),
+                             model_name="avformer", modality="A;V",
+                             task="AU", n_frames=16, image_size=112,
+                             compute_dtype="bfloat16",
+                             use_pallas=use_pallas, host_threads=4)
+            ds = Aff2TestDataset(e2e_cfg)
+            stats = sweep_serve_benchmark(e2e_cfg, variables, dataset=ds,
+                                          bucket=512)
+            e2e = stats
+        except Exception as e:
+            errors["e2e"] = repr(e)[:300]
+
+    if sweep_rate is None and clip_rate is None:
+        raise RuntimeError(f"all measurement paths failed: {errors}")
+
+    value = sweep_rate if sweep_rate is not None else clip_rate
+    mode = "dense_sweep" if sweep_rate is not None else "clip_batch_fallback"
+    out = {
+        "metric": "clips_per_sec_per_chip",
+        "value": round(value, 2),
+        "unit": "clips/s",
+        "vs_baseline": round(value / BASELINE_CLIPS_PER_SEC, 2),
+        "mode": mode,
+        "clip_batch_clips_per_sec":
+            round(clip_rate, 2) if clip_rate is not None else None,
+        "e2e_decode_infer_clips_per_sec":
+            round(e2e["clips_per_sec"], 2) if e2e else None,
+        "e2e_clips": e2e["clips"] if e2e else None,
+        "backend": jax.default_backend(),
+        "pallas": bool(use_pallas and on_tpu),
+    }
+    if errors:
+        out["section_errors"] = errors
+    return out
+
+
+def _extract_json(text: str) -> dict | None:
+    for line in reversed(text.strip().splitlines()):
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        try:
+            d = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if isinstance(d, dict) and "metric" in d:
+            return d
+    return None
+
+
+def _run_inner(extra: list[str], env: dict | None = None,
+               timeout: int = 1700) -> tuple[dict | None, str]:
+    cmd = [sys.executable, os.path.abspath(__file__), "--inner"] + extra
+    try:
+        r = subprocess.run(cmd, capture_output=True, text=True,
+                           timeout=timeout, env=env, cwd=REPO)
+    except subprocess.TimeoutExpired:
+        return None, "timeout"
+    return _extract_json(r.stdout), (r.stderr or "")[-1500:]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--inner", action="store_true")
+    ap.add_argument("--no_pallas", action="store_true")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    if args.inner:
+        print(json.dumps(measure(use_pallas=not args.no_pallas,
+                                 cpu_mode=args.cpu)))
+        return
+
+    # orchestrator: fresh backend per attempt (tunnel transients, round-1
+    # BENCH failure mode); never exit non-zero without the JSON line
+    attempts = [([], {}), ([], {}), (["--no_pallas"], {"fallback": True})]
+    tails = []
+    for i, (extra, extra_fields) in enumerate(attempts):
+        result, tail = _run_inner(extra)
+        if result is not None:
+            result["attempt"] = i + 1
+            result.update(extra_fields)
+            print(json.dumps(result))
+            return
+        tails.append(f"attempt{i + 1}: {tail[-400:]}")
+        print(f"bench attempt {i + 1} failed, retrying", file=sys.stderr)
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    result, tail = _run_inner(["--cpu"], env=env)
+    if result is not None:
+        result["attempt"] = len(attempts) + 1
+        result["degraded"] = "cpu_fallback"
+        print(json.dumps(result))
+        return
+    tails.append(f"cpu: {tail[-400:]}")
 
     print(json.dumps({
-        "metric": "clips_per_sec_per_chip",
-        "value": round(sweep_rate, 2),
-        "unit": "clips/s",
-        "vs_baseline": round(sweep_rate / BASELINE_CLIPS_PER_SEC, 2),
-        "mode": "dense_sweep",
-        "clip_batch_clips_per_sec": round(clip_rate, 2),
+        "metric": "clips_per_sec_per_chip", "value": 0.0,
+        "unit": "clips/s", "vs_baseline": 0.0,
+        "error": " | ".join(tails)[-1200:],
     }))
+    sys.exit(1)
 
 
 if __name__ == "__main__":

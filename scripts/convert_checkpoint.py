@@ -29,6 +29,11 @@ def main(argv=None):
         import jax
         jax.config.update("jax_platforms", "cpu")
 
+    from auformer.core.torch_import import CONVERTERS
+    if args.model not in CONVERTERS:
+        p.error(f"no .pth converter for {args.model!r}; "
+                f"available: {sorted(CONVERTERS)}")
+
     from auformer.core.checkpointing import save_checkpoint
     from auformer.core.config import Config
     from auformer.core.torch_import import (convert_checkpoint,

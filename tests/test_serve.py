@@ -41,3 +41,24 @@ def test_serve_benchmark_counts(cfg):
     stats = serve_benchmark(cfg, variables, batch_size=8)
     assert stats["clips"] == 24  # one test video
     assert stats["clips_per_sec"] > 0
+
+
+def test_sweep_serve_benchmark_device_audio(tmp_path_factory):
+    """End-to-end sweep serving (device-resident per-video audio) counts
+    every test clip and produces finite throughput on the avformer path."""
+    from auformer.data.fixtures import generate_synthetic_dataset
+    from auformer.serve import sweep_serve_benchmark
+
+    base = tmp_path_factory.mktemp("sweep_serve")
+    root, label = str(base / "root"), str(base / "labels")
+    generate_synthetic_dataset(root, label, n_videos=4, frames_per_video=20,
+                               image_size=32, audio_secs=1.0)
+    cfg = Config(root=root, lmdb_label_dir=label,
+                 cache_dir=str(base / "cache"), exp_dir=str(base / "exp"),
+                 model_name="avformer", modality="A;V", task="AU",
+                 n_frames=4, dilation=2, image_size=32, batch_size=8,
+                 compute_dtype="float32", use_pallas=False, host_threads=2)
+    _, variables = init_model(cfg)
+    stats = sweep_serve_benchmark(cfg, variables, bucket=8)
+    assert stats["clips"] == 20  # one test video (vid003)
+    assert stats["clips_per_sec"] > 0

@@ -118,6 +118,44 @@ def test_shared_audio_mode_close_to_exact():
                                    rtol=2e-3, atol=2e-2)
 
 
+def test_sweep_device_audio_matches_per_window_features():
+    """Device-resident audio (whole-video wav shipped once, window gather +
+    mel fused on device) produces the same logits as the feature-fed sweep
+    when the features come from identically assembled windows — covers
+    full 10 s windows AND the short-window (video start/end) mask path."""
+    from auformer.ops import audio_host
+    from auformer.ops.audio import audio_frontend
+
+    cfg = Config(model_name="avformer", modality="A;V", task="AU",
+                 n_frames=4, dilation=2, image_size=32,
+                 compute_dtype="float32", use_pallas=False)
+    _, variables = init_model(cfg)
+    sweep = AvformerSweep(cfg, variables)
+
+    rs = np.random.RandomState(3)
+    n = 6
+    frames = rs.randint(0, 256, (n, 32, 32, 3)).astype(np.uint8)
+    wav = (rs.randn(11 * 44100) * 0.1).astype(np.float32)  # 11 s
+    # short window (video start), mid-length, full 10 s windows, and a
+    # window truncated by the file end (offset + 10 s > len(wav))
+    ts = np.array([120.0, 3000.0, 10500.0, 10800.0, 10900.0, 10950.0])
+
+    slen = cfg.sample_len_frames
+    feats = np.zeros((n, 1, cfg.n_mels, cfg.mel_frames), np.float32)
+    for i, t in enumerate(ts):
+        offset, want = audio_host.audio_window_params(float(t))
+        nv = max(min(want, len(wav) - min(offset, len(wav))), 0)
+        buf = np.zeros(slen, np.float32)
+        if nv:
+            buf[slen - nv:] = wav[offset:offset + nv]
+        feats[i] = np.asarray(audio_frontend(
+            buf[None], feature_len=np.array([1 + nv // 441], np.int32)))
+
+    want_logits = sweep.sweep_video(frames, feats, batch=8)
+    got = sweep.sweep_video_device_audio(frames, wav, ts, batch=8)
+    np.testing.assert_allclose(got, want_logits, rtol=2e-4, atol=2e-4)
+
+
 def test_sweep_shared_audio_runs_end_to_end():
     cfg = Config(model_name="avformer", modality="A;V", task="AU",
                  n_frames=4, dilation=2, image_size=32,
