@@ -21,7 +21,7 @@ import numpy as np
 from .core.checkpointing import EarlyStopper, load_checkpoint, save_checkpoint
 from .core.config import Config
 from .core.observability import RecorderMeter, StepTimer
-from .core.mesh import make_mesh, shard_batch
+from .core.mesh import make_mesh, maybe_init_distributed, shard_batch
 from .core.prng import key_seq, setup_seed
 from .data import (Aff2CompDataset, DataLoader, Prefetcher,
                    SubsetSequentialSampler, shard_indices)
@@ -99,6 +99,10 @@ def train(cfg: Config, dataset=None, max_steps_per_epoch: int | None = None,
                         format="[%(asctime)s.%(msecs)03d] %(message)s",
                         datefmt="%H:%M:%S", force=True)
 
+    # multi-host DCN: joins the jax.distributed cluster when the standard
+    # coordinator env is present (no-op single host); must run before the
+    # first device query so the mesh sees every host's chips
+    maybe_init_distributed()
     mesh = make_mesh(cfg.mesh_shape)
     model, variables = init_model(cfg)
     suite = loss_suite(model)

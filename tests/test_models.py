@@ -144,11 +144,17 @@ def test_backbone_grad_flow(name, modality, t):
     assert sum(n > 0 for n in norms) > len(norms) * 0.4
 
 
-def test_vformer_bf16_train_step_grads():
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("name,modality", [("vformer", "V"),
+                                            ("avformer", "A;V")])
+def test_bf16_train_step_grads(name, modality):
     """bf16 (the production default) must differentiate: round-2 verify
     caught StemConv's preferred_element_type breaking the conv AD
     transpose rule under compute_dtype=bfloat16 — every other test pins
-    f32, so this is the only bf16-gradient coverage."""
+    f32, so this is the only bf16-gradient coverage. avformer adds the
+    TokenProjection/TokenLogits dots and the audio stream."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -157,7 +163,7 @@ def test_vformer_bf16_train_step_grads():
     from auformer.nn import init_model, loss_suite
     from auformer.parallel import create_train_state, make_train_step
 
-    cfg = Config(model_name="vformer", modality="V", task="AU",
+    cfg = Config(model_name=name, modality=modality, task="AU",
                  n_frames=2, image_size=32, batch_size=8,
                  compute_dtype="bfloat16", use_pallas=False)
     model, variables = init_model(cfg)
@@ -166,6 +172,7 @@ def test_vformer_bf16_train_step_grads():
     rs = np.random.RandomState(0)
     batch = {
         "clip": rs.randint(0, 256, (8, 2, 32, 32, 3)).astype(np.uint8),
+        "audio_features": rs.randn(8, 1, 64, 101).astype(np.float32),
         "AU": rs.randint(0, 2, (8, 12)).astype(np.float32),
         "EX": rs.randint(0, 7, (8, 1)).astype(np.int32),
         "VA": rs.uniform(-1, 1, (8, 2)).astype(np.float32),

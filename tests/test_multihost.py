@@ -76,3 +76,21 @@ def test_train_lib_hosts_see_disjoint_indices(tiny_cfg, monkeypatch):
         assert not set(a.tolist()) & set(b.tolist()), \
             "hosts fed overlapping indices"
         assert len(a) + len(b) > 0
+
+
+def test_maybe_init_distributed_env_branch(monkeypatch):
+    """The coordinator env var triggers jax.distributed.initialize;
+    absent -> no-op (SURVEY §2.2 DCN row)."""
+    import jax
+
+    from auformer.core.mesh import maybe_init_distributed
+
+    calls = []
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda *a, **k: calls.append(1))
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    assert maybe_init_distributed() is False
+    assert not calls
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "localhost:1234")
+    assert maybe_init_distributed() is True
+    assert calls == [1]
