@@ -62,13 +62,23 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(mesh: Mesh, batch):
     """Place a host batch (pytree of np arrays) onto the mesh, batch-sharded.
-    Non-numeric entries (e.g. video_id strings) pass through untouched."""
+    Non-numeric entries (e.g. video_id strings) pass through untouched.
+
+    Multi-host: each process passes its PROCESS-LOCAL batch (global batch /
+    process_count rows — train_lib.host_shard sizes the loaders) and the
+    global array is assembled with make_array_from_process_local_data;
+    device_put with a global NamedSharding would wrongly treat every
+    host's local rows as the same global batch."""
+    multiprocess = jax.process_count() > 1
+
     def put(x):
         arr = np.asarray(x)
         if arr.dtype.kind in ("U", "S", "O"):
             return x
         sh = (data_sharding(mesh, arr.ndim) if arr.ndim >= 1
               else replicated_sharding(mesh))
+        if multiprocess:
+            return jax.make_array_from_process_local_data(sh, arr)
         return jax.device_put(x, sh)
     return jax.tree_util.tree_map(put, batch)
 

@@ -205,6 +205,46 @@ class AvformerSweep:
             cols[i] = np.clip(idx, 0, t_total + 2 * cfg.mel_frames - 1)
         return cols
 
+    def _buckets(self, n: int, frames_u8: np.ndarray, batch: int):
+        """Yield (s, cur, frames_chunk, rows) per bucket of ``batch`` label
+        frames: frames padded to the static batch+label_frame shape with a
+        history margin for cross-bucket windows; window rows remapped to
+        chunk-local coordinates with the black slot at batch+label_frame.
+        The shared machinery behind every sweep_video* variant — each
+        variant only supplies its per-bucket audio payload (padded with
+        ``_pad_rows``)."""
+        lf = self.cfg.label_frame
+        idx_full = self.window_indices(n)
+        for s in range(0, n, batch):
+            cur = min(batch, n - s)
+            lo = max(s - lf, 0)
+            frames_chunk = frames_u8[lo:s + cur]
+            rows = idx_full[s:s + cur].copy()
+            black_slot = len(frames_chunk)
+            rows = np.where(rows == n, -1, rows) - lo
+            rows = np.where((rows < 0) | (rows >= black_slot),
+                            black_slot, rows)
+            fpad = batch + lf - len(frames_chunk)
+            if fpad:
+                frames_chunk = np.concatenate(
+                    [frames_chunk,
+                     np.zeros((fpad,) + frames_chunk.shape[1:], np.uint8)])
+            if cur < batch:
+                rows = np.concatenate(
+                    [rows, np.full((batch - cur, rows.shape[1]),
+                                   black_slot)])
+            rows = np.where(rows == black_slot, batch + lf, rows)
+            yield s, cur, frames_chunk, rows
+
+    @staticmethod
+    def _pad_rows(arr: np.ndarray, batch: int) -> np.ndarray:
+        """Pad a per-bucket payload slice to ``batch`` rows by repeating
+        the last row (static device shapes)."""
+        if arr.shape[0] < batch:
+            reps = np.repeat(arr[-1:], batch - arr.shape[0], axis=0)
+            arr = np.concatenate([arr, reps])
+        return arr
+
     def sweep_video_shared_audio(self, frames_u8: np.ndarray,
                                  wav: np.ndarray,
                                  timestamps_ms: np.ndarray,
@@ -219,31 +259,9 @@ class AvformerSweep:
         mel_padded = np.concatenate([pad, mel, pad], axis=1)
         cols = self.shared_audio_plan(timestamps_ms, wav.shape[-1])
 
-        lf = self.cfg.label_frame
-        idx_full = self.window_indices(n)
         out = np.zeros((n, 12), np.float32)
-        for s in range(0, n, batch):
-            cur = min(batch, n - s)
-            lo = max(s - lf, 0)
-            frames_chunk = frames_u8[lo:s + cur]
-            rows = idx_full[s:s + cur].copy()
-            black_slot = len(frames_chunk)
-            rows = np.where(rows == n, -1, rows) - lo
-            rows = np.where((rows < 0) | (rows >= black_slot),
-                            black_slot, rows)
-            cc = cols[s:s + cur]
-            fpad = batch + lf - len(frames_chunk)
-            if fpad:
-                frames_chunk = np.concatenate(
-                    [frames_chunk,
-                     np.zeros((fpad,) + frames_chunk.shape[1:], np.uint8)])
-            if cur < batch:
-                rows = np.concatenate(
-                    [rows, np.full((batch - cur, rows.shape[1]),
-                                   black_slot)])
-                cc = np.concatenate(
-                    [cc, np.repeat(cc[-1:], batch - cur, axis=0)])
-            rows = np.where(rows == black_slot, batch + lf, rows)
+        for s, cur, frames_chunk, rows in self._buckets(n, frames_u8, batch):
+            cc = self._pad_rows(cols[s:s + cur], batch)
             logits = np.asarray(self.fused_sweep_shared_audio(
                 frames_chunk, mel_padded, cc, rows))
             out[s:s + cur] = logits[:cur]
@@ -298,37 +316,15 @@ class AvformerSweep:
         wav_dev = _jax.device_put(wav_ext)
         starts, n_valid = self.audio_window_plan(timestamps_ms, wav.shape[0])
 
-        lf = cfg.label_frame
-        idx_full = self.window_indices(n)
         out = np.zeros((n, 12), np.float32)
         # dispatch every bucket asynchronously and fetch ONE concatenated
         # result per video: the attached chip's RPC tunnel charges >1s per
         # device->host fetch regardless of size, so per-bucket fetches
         # dominate the sweep (VERDICT round-2 e2e work)
         pending = []  # (s, cur, device future)
-        for s in range(0, n, batch):
-            cur = min(batch, n - s)
-            lo = max(s - lf, 0)
-            frames_chunk = frames_u8[lo:s + cur]
-            rows = idx_full[s:s + cur].copy()
-            black_slot = len(frames_chunk)
-            rows = np.where(rows == n, -1, rows) - lo
-            rows = np.where((rows < 0) | (rows >= black_slot),
-                            black_slot, rows)
-            st = starts[s:s + cur]
-            nv = n_valid[s:s + cur]
-            fpad = batch + lf - len(frames_chunk)
-            if fpad:
-                frames_chunk = np.concatenate(
-                    [frames_chunk,
-                     np.zeros((fpad,) + frames_chunk.shape[1:], np.uint8)])
-            if cur < batch:
-                rows = np.concatenate(
-                    [rows, np.full((batch - cur, rows.shape[1]),
-                                   black_slot)])
-                st = np.concatenate([st, np.repeat(st[-1:], batch - cur)])
-                nv = np.concatenate([nv, np.repeat(nv[-1:], batch - cur)])
-            rows = np.where(rows == black_slot, batch + lf, rows)
+        for s, cur, frames_chunk, rows in self._buckets(n, frames_u8, batch):
+            st = self._pad_rows(starts[s:s + cur], batch)
+            nv = self._pad_rows(n_valid[s:s + cur], batch)
             fut = self.fused_sweep_device_audio(
                 frames_chunk, wav_dev, st, nv, rows)
             pending.append((s, cur, fut))
@@ -351,36 +347,9 @@ class AvformerSweep:
         label_frame frames prepended to each bucket.
         """
         n = frames_u8.shape[0]
-        lf = self.cfg.label_frame
-        idx_full = self.window_indices(n)                   # (N, T), N=black
         out = np.zeros((n, 12), np.float32)
-        for s in range(0, n, batch):
-            cur = min(batch, n - s)
-            lo = max(s - lf, 0)
-            frames_chunk = frames_u8[lo:s + cur]
-            # local indices: rows for [s, s+cur), black slot = chunk len
-            rows = idx_full[s:s + cur].copy()
-            black_slot = len(frames_chunk)
-            rows = np.where(rows == n, -1, rows)
-            rows = rows - lo
-            rows = np.where((rows < 0) | (rows >= black_slot),
-                            black_slot, rows)
-            af = audio_features[s:s + cur]
-            # pad to the bucket's static shapes
-            fpad = batch + lf - len(frames_chunk)
-            if fpad:
-                frames_chunk = np.concatenate(
-                    [frames_chunk,
-                     np.zeros((fpad,) + frames_chunk.shape[1:], np.uint8)])
-            rpad = batch - cur
-            if rpad:
-                rows = np.concatenate(
-                    [rows, np.full((rpad, rows.shape[1]), black_slot)])
-                af = np.concatenate(
-                    [af, np.repeat(af[-1:], rpad, axis=0)])
-            # black slot must point at the padded-zero region end marker:
-            # feats has len(frames_chunk)=batch+lf entries + appended black
-            rows = np.where(rows == black_slot, batch + lf, rows)
+        for s, cur, frames_chunk, rows in self._buckets(n, frames_u8, batch):
+            af = self._pad_rows(audio_features[s:s + cur], batch)
             logits = np.asarray(self.fused_sweep(frames_chunk, af, rows))
             out[s:s + cur] = logits[:cur]
         return out

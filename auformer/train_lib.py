@@ -50,6 +50,25 @@ class AverageMeter:
         self.avg = self.sum / max(self.count, 1)
 
 
+def _gather_eval_rows(out, batch):
+    """Multi-host eval: every host sees only its addressable shard of the
+    global eval_step output, so fetch the LOCAL rows (aligned with the
+    local batch by shard index) and all-gather rows + labels across
+    processes — each host then scores the identical global set and the
+    EarlyStopper decision cannot diverge. Single-host: plain fetch."""
+    if jax.process_count() == 1:
+        return np.asarray(out), batch
+    from jax.experimental import multihost_utils
+    local = np.concatenate(
+        [np.asarray(s.data) for s in
+         sorted(out.addressable_shards,
+                key=lambda s: s.index[0].start or 0)])
+    gathered = multihost_utils.process_allgather(
+        (local, {k: np.asarray(batch[k]) for k in ("EX", "VA", "AU")}),
+        tiled=True)
+    return gathered[0], gathered[1]
+
+
 def evaluate(eval_step, state: TrainState, loader, mesh=None,
              num_step: int | None = None):
     """Validation sweep -> composite scores (reference train.py:106-169)."""
@@ -62,7 +81,7 @@ def evaluate(eval_step, state: TrainState, loader, mesh=None,
             break
         dev_batch = shard_batch(mesh, batch) if mesh is not None else batch
         out, loss = eval_step(state.params, state.batch_stats, dev_batch)
-        out = np.asarray(out)
+        out, batch = _gather_eval_rows(out, batch)
         total_loss += float(loss)
         steps += 1
 
@@ -82,6 +101,28 @@ def evaluate(eval_step, state: TrainState, loader, mesh=None,
     scores = composite_scores(metric_ex, metric_au, metric_va)
     scores["loss"] = total_loss / max(steps, 1)
     return scores
+
+
+def host_shard(ids, batch_size: int, host_id: int | None = None,
+               num_hosts: int | None = None) -> tuple[list, int]:
+    """Per-host (indices, local_batch_size) for multi-host input feeding.
+
+    Proper DP across hosts keeps the GLOBAL batch at ``batch_size``: each
+    host loads a disjoint batch_size/num_hosts slice of every global batch
+    (shard_batch assembles them with make_array_from_process_local_data).
+    Shards are truncated to equal length so every host runs the same
+    number of steps of the global jitted program — unequal counts would
+    deadlock the cluster in the first collective of the longest host's
+    extra step. Single-host is the identity.
+    """
+    num_hosts = num_hosts if num_hosts is not None else jax.process_count()
+    host_id = host_id if host_id is not None else jax.process_index()
+    if num_hosts == 1:
+        return list(ids), batch_size
+    assert batch_size % num_hosts == 0, \
+        f"global batch {batch_size} not divisible by {num_hosts} hosts"
+    local = shard_indices(ids, host_id, num_hosts)
+    return local[:len(ids) // num_hosts], batch_size // num_hosts
 
 
 def train(cfg: Config, dataset=None, max_steps_per_epoch: int | None = None,
@@ -157,12 +198,11 @@ def train(cfg: Config, dataset=None, max_steps_per_epoch: int | None = None,
         if hasattr(dataset, "aug_seed"):
             dataset.aug_seed = cfg.seed * 100003 + epoch
         train_ids = np.nonzero(dataset.train_ids * downsample)[0]
-        # per-host input sharding: under multi-host DCN each process feeds
-        # a disjoint stride of the epoch's indices (SURVEY.md §2.2 table;
-        # single-host is the identity)
-        train_ids = shard_indices(train_ids, jax.process_index(),
-                                  jax.process_count())
-        loader = DataLoader(dataset, cfg.batch_size,
+        # per-host input sharding (SURVEY.md §2.2 table): each process
+        # loads a disjoint equal-length shard at batch_size/num_hosts so
+        # the GLOBAL batch and step count match single-host exactly
+        train_ids, local_bs = host_shard(train_ids, cfg.batch_size)
+        loader = DataLoader(dataset, local_bs,
                             SubsetSequentialSampler(train_ids, shuffle=True),
                             num_threads=cfg.host_threads, drop_last=True,
                             prefetch_batches=cfg.prefetch_depth)
@@ -216,15 +256,19 @@ def train(cfg: Config, dataset=None, max_steps_per_epoch: int | None = None,
                         name="latest")
 
         dataset.set_aug(False)
+        # val is host-sharded like train (equal shards, local batch =
+        # global/num_hosts); evaluate() all-gathers rows so every host
+        # scores the identical global set — hosts disagreeing on the
+        # EarlyStopper break would deadlock the next epoch's collectives
         val_ids = np.nonzero(dataset.val_ids * downsample)[0]
-        val_ids = shard_indices(val_ids, jax.process_index(),
-                                jax.process_count())
         val_bs = cfg.batch_size * cfg.eval_batch_mult
-        val_loader = DataLoader(dataset, val_bs,
+        val_ids, local_val_bs = host_shard(val_ids, val_bs)
+        val_loader = DataLoader(dataset, local_val_bs,
                                 SubsetSequentialSampler(val_ids, shuffle=True),
                                 num_threads=cfg.host_threads, drop_last=True,
                                 prefetch_batches=cfg.prefetch_depth)
-        num_eval = max(int(len(val_ids) / val_bs), 1) if len(val_ids) else 0
+        num_eval = (max(int(len(val_ids) / local_val_bs), 1)
+                    if len(val_ids) else 0)
         scores = evaluate(eval_step, state, val_loader, mesh,
                           num_step=num_eval)
 

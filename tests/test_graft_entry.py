@@ -1,8 +1,9 @@
 """Driver hooks: dryrun_multichip must keep compiling+running on a virtual
 mesh (the driver invokes it with N forced host devices)."""
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def test_dryrun_multichip_8():

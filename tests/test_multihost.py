@@ -1,9 +1,12 @@
-"""Per-host input sharding wiring (VERDICT.md round-1 item 6).
+"""Per-host input sharding (SURVEY.md §2.2 TPU-native table, last row).
 
-train_lib must feed each process a disjoint stride of the epoch's indices
-(SURVEY.md §2.2 TPU-native table, last row). Simulated by faking
-jax.process_index/process_count and spying on the samplers train_lib
-builds; single-host behavior is the identity.
+Proper multi-host DP keeps the GLOBAL batch at cfg.batch_size: each host
+loads a disjoint equal-length shard at batch_size/num_hosts and
+shard_batch assembles the global array (make_array_from_process_local_data).
+host_shard is tested directly across fake host ids (no process mocking —
+running the real train loop under a mocked process_count would hand
+single-process jax a multi-process code path); a spy run checks the
+single-host identity wiring end to end.
 """
 import numpy as np
 import pytest
@@ -11,6 +14,7 @@ import pytest
 from auformer.core.config import Config
 from auformer.data.fixtures import generate_synthetic_dataset
 from auformer.data.samplers import shard_indices
+from auformer.train_lib import host_shard
 
 
 def test_shard_indices_identity_single_host():
@@ -26,6 +30,29 @@ def test_shard_indices_disjoint_cover():
     for a in range(4):
         for b in range(a + 1, 4):
             assert not set(shards[a]) & set(shards[b])
+
+
+def test_host_shard_single_host_identity():
+    ids = list(range(37))
+    local, bs = host_shard(ids, 64, host_id=0, num_hosts=1)
+    assert local == ids and bs == 64
+
+
+def test_host_shard_equal_disjoint_and_local_batch():
+    ids = list(range(23))
+    shards = [host_shard(ids, 64, host_id=h, num_hosts=4) for h in range(4)]
+    lens = {len(s) for s, _ in shards}
+    assert lens == {23 // 4}, "shards must be equal length (step parity)"
+    assert all(bs == 16 for _, bs in shards)
+    seen = set()
+    for s, _ in shards:
+        assert not seen & set(s)
+        seen |= set(s)
+
+
+def test_host_shard_rejects_indivisible_batch():
+    with pytest.raises(AssertionError):
+        host_shard(list(range(8)), 10, host_id=0, num_hosts=4)
 
 
 @pytest.fixture(scope="module")
@@ -44,38 +71,31 @@ def tiny_cfg(tmp_path_factory):
                   use_pallas=False, host_threads=2, early_stop_step=99)
 
 
-def _run_host(monkeypatch, cfg, host_id, num_hosts, seen):
+def test_train_lib_single_host_sees_all_indices(tiny_cfg, monkeypatch):
+    """Single-host wiring: the train sampler receives exactly the epoch's
+    full (downsampled) train index set at the full batch size."""
     from auformer import train_lib
+    from auformer.data.dataset import Aff2CompDataset
 
-    monkeypatch.setattr("jax.process_index", lambda: host_id)
-    monkeypatch.setattr("jax.process_count", lambda: num_hosts)
-    # orbax refuses to save when process_count > 1 without a real
-    # distributed runtime; checkpointing is not under test here
-    monkeypatch.setattr(train_lib, "save_checkpoint", lambda *a, **k: None)
-    monkeypatch.setattr("auformer.core.checkpointing.save_checkpoint",
-                        lambda *a, **k: None)
+    np.random.seed(0)
+    seen = []
     real_loader = train_lib.DataLoader
 
     class SpyLoader(real_loader):
         def __init__(self, dataset, batch_size, sampler, **kw):
-            seen.append(np.sort(np.asarray(list(iter(sampler)))))
+            seen.append((batch_size,
+                         np.sort(np.asarray(list(iter(sampler))))))
             super().__init__(dataset, batch_size, sampler, **kw)
 
     monkeypatch.setattr(train_lib, "DataLoader", SpyLoader)
-    train_lib.train(cfg, max_steps_per_epoch=1, epochs=1)
+    train_lib.train(tiny_cfg, max_steps_per_epoch=1, epochs=1)
 
-
-def test_train_lib_hosts_see_disjoint_indices(tiny_cfg, monkeypatch):
-    np.random.seed(0)
-    seen0, seen1 = [], []
-    _run_host(monkeypatch, tiny_cfg, 0, 2, seen0)
-    _run_host(monkeypatch, tiny_cfg, 1, 2, seen1)
-    # loader 0 of each run is the train loader, loader 1 the val loader
-    assert len(seen0) >= 2 and len(seen1) >= 2
-    for a, b in zip(seen0, seen1):
-        assert not set(a.tolist()) & set(b.tolist()), \
-            "hosts fed overlapping indices"
-        assert len(a) + len(b) > 0
+    ds = Aff2CompDataset(tiny_cfg)
+    bs, train_seen = seen[0]
+    assert bs == tiny_cfg.batch_size
+    expected = np.nonzero(ds.train_ids)[0]          # downsample_rate=1
+    assert set(train_seen.tolist()) <= set(expected.tolist())
+    assert len(train_seen) >= len(expected) - 1     # downsample mask edge
 
 
 def test_maybe_init_distributed_env_branch(monkeypatch):

@@ -24,7 +24,8 @@ from auformer.nn import build_model, init_model
 from test_torch_import import make_au_former_sd, make_transformer_sd, t
 from test_torch_import_zoo import conditioned, make_resnet18_sd
 
-sys.path.insert(0, "/root/repo/scripts")
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "scripts"))
 
 
 def build_avformer_sd():
