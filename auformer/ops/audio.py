@@ -165,9 +165,11 @@ def mel_spectrogram(audio: jax.Array,
                     sample_rate: int = SAMPLE_RATE,
                     n_fft: int = N_FFT,
                     hop_length: int = HOP_LENGTH,
-                    win_length: int = WIN_LENGTH) -> jax.Array:
+                    win_length: int = WIN_LENGTH,
+                    conv_dtype=jnp.float32) -> jax.Array:
     """(..., L) -> (..., n_mels, T) mel power spectrogram (torchaudio layout)."""
-    spec = power_spectrogram(audio, n_fft, hop_length, win_length)  # (..., T, F)
+    spec = power_spectrogram(audio, n_fft, hop_length, win_length,
+                             conv_dtype=conv_dtype)      # (..., T, F)
     fb = jnp.asarray(mel_filterbank(n_fft // 2 + 1, 0.0, None, n_mels, sample_rate))
     mel = jnp.einsum("...tf,fm->...mt", spec, fb,
                      preferred_element_type=jnp.float32)
@@ -195,11 +197,13 @@ def normalize_spec(x: jax.Array,
     return (x - mean) / std
 
 
-@functools.partial(jax.jit, static_argnames=("n_mels", "out_frames"))
+@functools.partial(jax.jit,
+                   static_argnames=("n_mels", "out_frames", "mel_bf16"))
 def audio_frontend(audio: jax.Array,
                    feature_len: jax.Array | None = None,
                    n_mels: int = N_MELS,
-                   out_frames: int = 1001) -> jax.Array:
+                   out_frames: int = 1001,
+                   mel_bf16: bool = False) -> jax.Array:
     """Full fused frontend: (B, L) raw audio -> (B, 1, n_mels, out_frames).
 
     ``feature_len`` (B,) int32 — number of *valid* mel frames per sample
@@ -209,7 +213,12 @@ def audio_frontend(audio: jax.Array,
     -80 dB-from-max floor, i.e. exactly what AmpToDB does to zeros
     (aff2compdataset.py:234-241).
     """
-    mel = mel_spectrogram(audio, n_mels=n_mels)             # (B, n_mels, T)
+    # mel_bf16 (opt-in, NOT bit-faithful): the DFT conv in bf16 trades
+    # ~0.05 dB post-log accuracy for ~4x MXU rate — the mel is 30% of the
+    # dense sweep's FLOPs and the only f32 block (scripts/flops_report.py)
+    mel = mel_spectrogram(audio, n_mels=n_mels,
+                          conv_dtype=jnp.bfloat16 if mel_bf16
+                          else jnp.float32)                 # (B, n_mels, T)
     t = mel.shape[-1]
     if t > out_frames:
         mel = mel[..., -out_frames:]

@@ -153,7 +153,8 @@ class AvformerSweep:
             win = jnp.where(k[None, :] >= slen - n_valid[:, None], win, 0.0)
             feats = audio_frontend(win, feature_len=1 + n_valid // 441,
                                    n_mels=self.cfg.n_mels,
-                                   out_frames=self.cfg.mel_frames)
+                                   out_frames=self.cfg.mel_frames,
+                                   mel_bf16=self.cfg.mel_bf16)
             return fused_sweep(frames_u8, feats, idx)
 
         self.fused_sweep_device_audio = fused_sweep_device_audio

@@ -106,3 +106,20 @@ def test_wav_roundtrip(tmp_path):
     # offset/num_samples window
     y2, _ = AH.load_wav(p, offset=1000, num_samples=500)
     np.testing.assert_allclose(y2, y[:, 1000:1500], atol=1e-7)
+
+
+def test_audio_frontend_mel_bf16_close():
+    """Opt-in bf16 DFT conv: ~1e-2 relative spectrum accuracy -> small
+    post-dB error vs the exact f32 frontend (ops/audio.py mel_bf16)."""
+    import numpy as np
+
+    from auformer.ops.audio import audio_frontend
+
+    rs = np.random.RandomState(0)
+    audio = (rs.randn(2, 44100) * 0.1).astype(np.float32)
+    exact = np.asarray(audio_frontend(audio, out_frames=101))
+    fast = np.asarray(audio_frontend(audio, out_frames=101, mel_bf16=True))
+    assert fast.shape == exact.shape
+    # dB-domain error stays small (values span ~[-5, 5] post-normalize)
+    assert np.abs(fast - exact).mean() < 0.02
+    assert np.abs(fast - exact).max() < 0.6
