@@ -249,8 +249,24 @@ class Aff2CompDataset:
                 if cached is not None:
                     clip[i, :, :, 0:3] = cached
             if self.use_mask and self.native_mask is not None:
-                masks, _ = self.native_mask.decode_batch(keys, h, w, 1)
-                clip[:, :, :, 3] = masks[:, :, :, 0]
+                # mask decode rides the same LRU as the RGB path (namespaced
+                # "m:" keys) so overlapping sweep windows reuse decoded
+                # masks; missing keys (None / absent in the store) simply
+                # leave the black frame (the C++ reader reports ok=False)
+                mmiss = [k if (k is not None
+                               and self._cache_get("m:" + k) is None)
+                         else None for k in keys]
+                if any(m is not None for m in mmiss):
+                    masks, mok = self.native_mask.decode_batch(mmiss, h, w, 1)
+                    for i, (m, good) in enumerate(zip(mmiss, mok)):
+                        if m is not None and good:
+                            self._cache_put("m:" + m, masks[i])
+                for i, k in enumerate(keys):
+                    if k is None:
+                        continue
+                    cm = self._cache_get("m:" + k)
+                    if cm is not None:
+                        clip[i, :, :, 3] = cm[:, :, 0]
             return clip
 
         for clip_i, key in enumerate(keys):
@@ -312,10 +328,12 @@ class Aff2CompDataset:
         if self.aug:
             import random as _random
             rng = _random.Random((self.aug_seed << 32) ^ index)
-            if not self.use_mask:
-                clip = transforms.train_augment(clip, rng)
-            else:
-                clip = transforms.random_clip_flip(clip, rng=rng)
+            # ImageNetPolicy + flip regardless of the mask channel: the
+            # reference applies the full pipeline to V;M clips too —
+            # SubPolicy slices clip[..., 0:3] so the mask passes through
+            # untouched while the flip moves both (aff2compdataset.py:69-77,
+            # autoaugment.py:104-112); imagenet_policy mirrors that slice.
+            clip = transforms.train_augment(clip, rng)
         data["clip"] = clip  # uint8 (T,H,W,C); device normalizes
 
         if self.use_audio and "audio_features" in self.modes:

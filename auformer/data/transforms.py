@@ -191,6 +191,139 @@ def random_color_augment(clip: np.ndarray,
     return clip
 
 
+# ---------------------------------------------------------------------------
+# intensity.py class surface (reference dataloader/intensity.py — dead code
+# in the reference: never reached from any dataset; kept for API
+# completeness, VERDICT round-2 item 9). Deterministic ops take a factor;
+# Random* variants draw their factor ONCE at construction (intensity.py:68,
+# 296-343), matching the reference's sample-per-instance semantics. One
+# deliberate deviation: ndarray in -> ndarray out (the reference returns a
+# PIL image for ndarray input, a type leak nothing downstream consumed).
+# ---------------------------------------------------------------------------
+
+class Rescale:
+    """Multiply pixel values by ``scale`` (intensity.py:11-35)."""
+
+    def __init__(self, scale: float = 1 / 255.0):
+        self.scale = scale
+
+    def __call__(self, frame):
+        return np.asarray(frame) * self.scale
+
+
+class _IntensityOp:
+    """Single-frame color op on (H, W, 3) uint8 arrays or PIL images."""
+
+    def _apply(self, img: Image.Image) -> Image.Image:
+        raise NotImplementedError
+
+    def __call__(self, frame):
+        was_np = isinstance(frame, np.ndarray)
+        img = Image.fromarray(frame) if was_np else frame
+        img = self._apply(img)
+        return np.array(img) if was_np else img
+
+
+class Brightness(_IntensityOp):
+    """Fixed-factor brightness (intensity.py:38-61)."""
+
+    def __init__(self, brightness: float):
+        self.brightness = brightness
+
+    def _apply(self, img):
+        return ImageEnhance.Brightness(img).enhance(self.brightness)
+
+
+class RandomBrightness(Brightness):
+    """Factor 1 + U(-abs, +abs), drawn at construction (intensity.py:64-87)."""
+
+    def __init__(self, abs_brightness: float = 0.01,
+                 rng: random.Random | None = None):
+        r = rng or random
+        super().__init__(
+            1 + r.uniform(-abs(abs_brightness), abs(abs_brightness)))
+
+
+class Contrast(_IntensityOp):
+    """Fixed-factor contrast (intensity.py:157-204)."""
+
+    def __init__(self, contrast: float):
+        self.contrast = contrast
+
+    def _apply(self, img):
+        return ImageEnhance.Contrast(img).enhance(self.contrast)
+
+
+class RandomContrast(Contrast):
+    def __init__(self, abs_contrast: float = 0.01,
+                 rng: random.Random | None = None):
+        r = rng or random
+        super().__init__(1 + r.uniform(-abs(abs_contrast), abs(abs_contrast)))
+
+
+class Saturation(_IntensityOp):
+    """Fixed-factor saturation (intensity.py:224-271)."""
+
+    def __init__(self, saturation: float):
+        self.saturation = saturation
+
+    def _apply(self, img):
+        return ImageEnhance.Color(img).enhance(self.saturation)
+
+
+class RandomSaturation(Saturation):
+    def __init__(self, abs_saturation: float = 0.01,
+                 rng: random.Random | None = None):
+        r = rng or random
+        super().__init__(
+            1 + r.uniform(-abs(abs_saturation), abs(abs_saturation)))
+
+
+class Hue(_IntensityOp):
+    """Cyclic H-channel shift by ``hue`` in [-0.5, 0.5] (intensity.py:90-120,
+    torchvision adjust_hue semantics: HSV uint8 H shifted by hue*255)."""
+
+    def __init__(self, hue: float):
+        if not -0.5 <= hue <= 0.5:
+            raise ValueError(f"hue factor {hue} not in [-0.5, 0.5]")
+        self.hue = hue
+
+    def _apply(self, img):
+        hsv = np.array(img.convert("HSV"), dtype=np.int16)
+        hsv[..., 0] = (hsv[..., 0] + int(self.hue * 255)) % 256
+        return Image.fromarray(hsv.astype(np.uint8), "HSV").convert("RGB")
+
+
+class RandomHue(Hue):
+    def __init__(self, hue: float = 0.01, rng: random.Random | None = None):
+        r = rng or random
+        super().__init__(r.uniform(-hue, hue))
+
+
+class RandomColorAugment:
+    """Factors drawn once at construction (intensity.py:296-343), applied
+    in the reference's fixed order Saturation -> Hue -> Brightness ->
+    Contrast (intensity.py:344-347)."""
+
+    def __init__(self, brightness: float = 0.2, contrast: float = 0.2,
+                 hue: float = 0, saturation: float = 0,
+                 rng: random.Random | None = None):
+        r = rng or random
+        self.brightness = (r.uniform(max(0, 1 - brightness), 1 + brightness)
+                           if brightness > 0 else 1)
+        self.contrast = (r.uniform(max(0, 1 - contrast), 1 + contrast)
+                         if contrast > 0 else 1)
+        self.saturation = (r.uniform(max(0, 1 - saturation), 1 + saturation)
+                           if saturation > 0 else 1)
+        self.hue = r.uniform(-hue, hue) if 0 <= hue <= 0.5 else 0
+
+    def __call__(self, frame):
+        for op in (Saturation(self.saturation), Hue(self.hue),
+                   Brightness(self.brightness), Contrast(self.contrast)):
+            frame = op(frame)
+        return frame
+
+
 def train_augment(clip: np.ndarray,
                   rng: random.Random | None = None) -> np.ndarray:
     """The reference training pipeline: ImageNetPolicy + RandomClipFlip

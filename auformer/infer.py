@@ -76,6 +76,19 @@ def make_infer_fn(cfg: Config, model):
     return infer
 
 
+def _testset(cfg: Config, dataset):
+    """Build the test dataset, materializing synthetic fixtures first when
+    --data_backend synthetic is selected (mirrors train_lib's bootstrap so
+    `python test_aff2.py --data_backend synthetic` dry-runs end-to-end
+    instead of silently sweeping an empty split)."""
+    if dataset is not None:
+        return dataset
+    if cfg.data_backend == "synthetic":
+        from .data.fixtures import ensure_synthetic
+        ensure_synthetic(cfg)
+    return Aff2TestDataset(cfg)
+
+
 def run_inference(cfg: Config, variables, result_path: str = "results",
                   dataset: Aff2TestDataset | None = None,
                   batch_size: int | None = None,
@@ -86,7 +99,7 @@ def run_inference(cfg: Config, variables, result_path: str = "results",
     ``output`` tensor, test_aff2.py:79,117).
     """
     model = build_model(cfg)
-    dataset = dataset or Aff2TestDataset(cfg)
+    dataset = _testset(cfg, dataset)
     dataset.set_modes(list(model.modes))
     batch_size = batch_size or max(cfg.batch_size, 1)
 
@@ -133,12 +146,14 @@ def run_inference_sweep(cfg: Config, variables,
     """Dense-sweep inference (auformer/sweep.py): per video, decode every
     test frame once, run the trunk once per frame, and score all windows
     through the temporal/fusion heads — bit-identical logits to
-    ``run_inference`` at a fraction of the compute. avformer/'A;V' only.
+    ``run_inference`` at a fraction of the compute. Supports avformer
+    (A/V, 12 AU logits) and vformer (visual-only, all 21 logits —
+    test_aff2.py:117-119); other models use ``run_inference``.
     """
-    from .sweep import AvformerSweep
+    from .sweep import make_sweep
 
-    dataset = dataset or Aff2TestDataset(cfg)
-    sweep = AvformerSweep(cfg, variables)
+    dataset = _testset(cfg, dataset)
+    sweep = make_sweep(cfg, variables)
     h = w = cfg.image_size
 
     test_idx = np.nonzero(dataset.test_ids)[0]
@@ -159,12 +174,15 @@ def run_inference_sweep(cfg: Config, variables,
                 img = dataset._get_image_by_key(k)
                 if img is not None and img.shape[:2] == (h, w):
                     frames[j] = img
-        feats = np.stack([
-            dataset.get_audio_feature(video_id, int(i))[0]
-            for i in vid_idx]).astype(np.float32)
-        logits12 = sweep.sweep_video(frames, feats, batch=bucket)
-        output[vid_idx, :12] = logits12
-        pred = np.round(1.0 / (1.0 + np.exp(-logits12))).astype(int)
+        if sweep.needs_audio:
+            feats = np.stack([
+                dataset.get_audio_feature(video_id, int(i))[0]
+                for i in vid_idx]).astype(np.float32)
+            logits = sweep.sweep_video(frames, feats, batch=bucket)
+        else:
+            logits = sweep.sweep_video(frames, batch=bucket)
+        output[vid_idx, :logits.shape[1]] = logits
+        pred = np.round(1.0 / (1.0 + np.exp(-logits[:, :12]))).astype(int)
         for row in pred:
             au_writer.write(video_id, au_to_str(row))
     au_writer.close()

@@ -77,6 +77,74 @@ def test_run_inference_sweep_matches_batched(tmp_path):
     assert t1 == t2
 
 
+def test_vformer_sweep_matches_clip_forward():
+    """VformerSweep (VERDICT round-2 item 8): frame-feature-reuse inference
+    for the visual-only flagship matches the clip-at-a-time forward on all
+    21 logits."""
+    from auformer.sweep import VformerSweep, make_sweep
+
+    cfg = Config(model_name="vformer", modality="V", task="ALL",
+                 n_frames=4, dilation=2, image_size=32,
+                 compute_dtype="float32", use_pallas=False)
+    model, variables = init_model(cfg)
+    sweep = make_sweep(cfg, variables)
+    assert isinstance(sweep, VformerSweep)
+    assert not sweep.needs_audio
+
+    rs = np.random.RandomState(1)
+    n = 12
+    frames = rs.randint(0, 256, (n, 32, 32, 3)).astype(np.uint8)
+    got = sweep.sweep_video(frames, batch=8)
+    assert got.shape == (n, 21)
+
+    lf = cfg.label_frame
+    for i in [0, 3, 7, n - 1]:
+        clip = np.zeros((1, cfg.n_frames, 32, 32, 3), np.uint8)
+        for k, src in enumerate(range(i - lf + cfg.dilation,
+                                      i - lf + cfg.dilation * (cfg.n_frames + 1),
+                                      cfg.dilation)):
+            if 0 <= src < n:
+                clip[0, k] = frames[src]
+        out = np.asarray(model.apply(
+            variables, {"clip": normalize_clip(clip)}, train=False))
+        np.testing.assert_allclose(got[i], out[0], rtol=2e-4, atol=2e-4)
+
+
+def test_vformer_run_inference_sweep_matches_batched(tmp_path):
+    """run_inference_sweep serves vformer too: same 21-logit output and AU
+    submission rows as the clip-batched path."""
+    from auformer.data.fixtures import generate_synthetic_dataset
+    from auformer.infer import run_inference, run_inference_sweep
+
+    root = str(tmp_path / "root")
+    label = str(tmp_path / "labels")
+    generate_synthetic_dataset(root, label, n_videos=4, frames_per_video=20,
+                               image_size=32, audio_secs=1.0)
+    cfg = Config(root=root, lmdb_label_dir=label,
+                 cache_dir=str(tmp_path / "cache"),
+                 model_name="vformer", modality="V", task="ALL",
+                 n_frames=4, dilation=2, image_size=32, batch_size=8,
+                 compute_dtype="float32", use_pallas=False, host_threads=2)
+    model, variables = init_model(cfg)
+    ref = run_inference(cfg, variables, result_path=str(tmp_path / "r1"))
+    got = run_inference_sweep(cfg, variables,
+                              result_path=str(tmp_path / "r2"), bucket=8)
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+    t1 = (tmp_path / "r1" / "au" / "vid003.txt").read_text()
+    t2 = (tmp_path / "r2" / "au" / "vid003.txt").read_text()
+    assert t1 == t2
+
+
+def test_make_sweep_unknown_model_raises():
+    import pytest as _pytest
+
+    from auformer.sweep import make_sweep
+
+    cfg = Config(model_name="i3d", modality="V", task="AU")
+    with _pytest.raises(NotImplementedError):
+        make_sweep(cfg, variables=None)
+
+
 def test_shared_audio_mode_close_to_exact():
     """Opt-in shared-spectrogram audio: grid-snapped windows produce mel
     features near the exact per-window pipeline (interior columns match;

