@@ -144,6 +144,7 @@ def sweep_serve_benchmark(cfg: Config, variables, dataset=None,
             np.zeros(bucket), batch=bucket)
 
     n_done = 0
+    sweep_s = 0.0
     t0 = time.perf_counter()
     with ThreadPoolExecutor(max_workers=1) as ex:
         nxt = ex.submit(load_video, videos[0]) if videos else None
@@ -153,8 +154,11 @@ def sweep_serve_benchmark(cfg: Config, variables, dataset=None,
             vid_idx, frames, wav, ts = nxt.result()
             if i + 1 < len(videos):
                 nxt = ex.submit(load_video, videos[i + 1])
+            ts_sweep = time.perf_counter()
             sweep.sweep_video_device_audio(frames, wav, ts, batch=bucket)
+            sweep_s += time.perf_counter() - ts_sweep
             n_done += len(vid_idx)
     dt = time.perf_counter() - t0
     return {"clips": n_done, "seconds": dt, "decode_seconds": decode_s,
+            "sweep_seconds": sweep_s,
             "clips_per_sec": n_done / dt if dt > 0 else 0.0}

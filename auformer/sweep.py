@@ -141,47 +141,64 @@ class AvformerSweep(SweepBase):
         fusion = FormerAUHead(emb_dim=256, dropout=cfg.dropout_rate,
                               dtype=dtype, use_pallas=use_pallas)
 
-        v_trunk = _sub(variables, "video_model", "video_model", "s_former")
-        v_tf = _sub(variables, "video_model", "video_model", "t_former")
-        v_head = _sub(variables, "video_model", "au_head")
-        a_net = _sub(variables, "audio_model", "audio_model")
-        a_head = _sub(variables, "audio_model", "au_head")
-        f_head = _sub(variables, "au_head")
+        # Weights are SHIPPED ONCE as a device-resident pytree and every
+        # jitted entry takes them as an ARGUMENT. Closing over them bakes
+        # ~100 MB of parameters into the HLO as constants: trace-time D2H
+        # fetches, a 325 MB serialized executable that must be pushed
+        # through the RPC tunnel at every process start (observed as a
+        # >600 s stall in the round-3 e2e bench), and value-keyed
+        # compile-cache entries.
+        self.v = jax.device_put({
+            "trunk": _sub(variables, "video_model", "video_model",
+                          "s_former"),
+            "tf": _sub(variables, "video_model", "video_model", "t_former"),
+            "v_head": _sub(variables, "video_model", "au_head"),
+            "a_net": _sub(variables, "audio_model", "audio_model"),
+            "a_head": _sub(variables, "audio_model", "au_head"),
+            "f_head": _sub(variables, "au_head"),
+        })
 
-        @jax.jit
-        def frame_features(frames_u8):
+        def _frame_features(v, frames_u8):
             x = normalize_clip(frames_u8, dtype=dtype)
-            return trunk.apply(v_trunk, x, train=False, deterministic=True)
+            return trunk.apply(v["trunk"], x, train=False, deterministic=True)
 
-        @jax.jit
-        def head_forward(gathered_feats, audio_features):
-            pooled = tformer.apply(v_tf, gathered_feats, deterministic=True)
-            _, v_tokens = v_au_head.apply(v_head, pooled, train=False,
+        def _head_forward(v, gathered_feats, audio_features):
+            pooled = tformer.apply(v["tf"], gathered_feats,
+                                   deterministic=True)
+            _, v_tokens = v_au_head.apply(v["v_head"], pooled, train=False,
                                           deterministic=True)
-            a_feat = a_model.apply(a_net, audio_features, train=False)
-            _, a_tokens = a_au_head.apply(a_head, a_feat, train=False,
+            a_feat = a_model.apply(v["a_net"], audio_features, train=False)
+            _, a_tokens = a_au_head.apply(v["a_head"], a_feat, train=False,
                                           deterministic=True)
             fused = jnp.concatenate([a_tokens, v_tokens], axis=2)
-            return fusion.apply(f_head, fused, deterministic=True)
+            return fusion.apply(v["f_head"], fused, deterministic=True)
 
-        @jax.jit
-        def fused_sweep(frames_u8, audio_features, idx):
+        def _fused_sweep(v, frames_u8, audio_features, idx):
             """Whole-bucket sweep in ONE device program: trunk once per
             frame, on-device window gather, temporal+audio heads. No
             intermediate host round-trips."""
-            feats = frame_features(frames_u8)               # (N, 512)
-            black = frame_features(
-                jnp.zeros((1,) + frames_u8.shape[1:], jnp.uint8))
+            feats = _frame_features(v, frames_u8)           # (N, 512)
+            black = _frame_features(
+                v, jnp.zeros((1,) + frames_u8.shape[1:], jnp.uint8))
             feats = jnp.concatenate([feats, black])         # black slot = N
             gathered = feats[idx]                           # (N, T, 512)
-            return head_forward(gathered, audio_features)
+            return _head_forward(v, gathered, audio_features)
 
-        self.frame_features = frame_features
-        self.head_forward = head_forward
-        self.fused_sweep = fused_sweep
+        # vars-first jitted entries (for composition inside an outer jit —
+        # pass ``self.v`` through the outer program's arguments) ...
+        self.frame_features_fn = jax.jit(_frame_features)
+        self.head_forward_fn = jax.jit(_head_forward)
+        self.fused_sweep_fn = jax.jit(_fused_sweep)
+        # ... and the bound convenience forms used by the host drivers
+        self.frame_features = \
+            lambda frames: self.frame_features_fn(self.v, frames)
+        self.head_forward = \
+            lambda g, a: self.head_forward_fn(self.v, g, a)
+        self.fused_sweep = \
+            lambda f, a, i: self.fused_sweep_fn(self.v, f, a, i)
 
-        @jax.jit
-        def fused_sweep_shared_audio(frames_u8, mel_shared, mel_cols, idx):
+        def fused_sweep_shared_audio(v, frames_u8, mel_shared, mel_cols,
+                                     idx):
             """Sweep with shared-spectrogram audio (opt-in, approximate):
             one global mel power spectrogram per video; each label frame's
             (64, 1001) feature map is a column gather + per-window dB floor
@@ -198,12 +215,14 @@ class AvformerSweep(SweepBase):
             mel_win = mel_shared[:, mel_cols]               # (M, N, 1001)
             mel_win = jnp.transpose(mel_win, (1, 0, 2))     # (N, M, 1001)
             feats = normalize_spec(amplitude_to_db(mel_win))[:, None]
-            return fused_sweep(frames_u8, feats, idx)
+            return _fused_sweep(v, frames_u8, feats, idx)
 
-        self.fused_sweep_shared_audio = fused_sweep_shared_audio
+        self.fused_sweep_shared_audio_fn = jax.jit(fused_sweep_shared_audio)
+        self.fused_sweep_shared_audio = \
+            lambda f, m, c, i: self.fused_sweep_shared_audio_fn(
+                self.v, f, m, c, i)
 
-        @jax.jit
-        def fused_sweep_device_audio(frames_u8, wav_ext, starts, n_valid,
+        def fused_sweep_device_audio(v, frames_u8, wav_ext, starts, n_valid,
                                      idx):
             """Sweep with per-video DEVICE-RESIDENT audio: each window is
             gathered from the whole-video waveform on device and the mel
@@ -232,9 +251,12 @@ class AvformerSweep(SweepBase):
                                    n_mels=self.cfg.n_mels,
                                    out_frames=self.cfg.mel_frames,
                                    mel_bf16=self.cfg.mel_bf16)
-            return fused_sweep(frames_u8, feats, idx)
+            return _fused_sweep(v, frames_u8, feats, idx)
 
-        self.fused_sweep_device_audio = fused_sweep_device_audio
+        self.fused_sweep_device_audio_fn = jax.jit(fused_sweep_device_audio)
+        self.fused_sweep_device_audio = \
+            lambda f, w, s, nv, i: self.fused_sweep_device_audio_fn(
+                self.v, f, w, s, nv, i)
 
     def shared_audio_plan(self, timestamps_ms: np.ndarray,
                           total_samples: int) -> np.ndarray:
@@ -404,27 +426,33 @@ class VformerSweep(SweepBase):
                           use_pallas=use_pallas)
         mlp = MLPHead(dtype=dtype)
 
-        v_trunk = _sub(variables, "video_model", "s_former")
-        v_tf = _sub(variables, "video_model", "t_former")
-        head = _sub(variables, "fc")
+        # weights as a device-resident ARGUMENT, not a closure constant —
+        # see AvformerSweep.__init__
+        self.v = jax.device_put({
+            "trunk": _sub(variables, "video_model", "s_former"),
+            "tf": _sub(variables, "video_model", "t_former"),
+            "head": _sub(variables, "fc"),
+        })
 
-        @jax.jit
-        def frame_features(frames_u8):
+        def _frame_features(v, frames_u8):
             x = normalize_clip(frames_u8, dtype=dtype)
-            return trunk.apply(v_trunk, x, train=False, deterministic=True)
+            return trunk.apply(v["trunk"], x, train=False,
+                               deterministic=True)
 
-        @jax.jit
-        def fused_sweep(frames_u8, idx):
-            feats = frame_features(frames_u8)               # (N, 512)
-            black = frame_features(
-                jnp.zeros((1,) + frames_u8.shape[1:], jnp.uint8))
+        def _fused_sweep(v, frames_u8, idx):
+            feats = _frame_features(v, frames_u8)           # (N, 512)
+            black = _frame_features(
+                v, jnp.zeros((1,) + frames_u8.shape[1:], jnp.uint8))
             feats = jnp.concatenate([feats, black])         # black slot = N
             gathered = feats[idx]                           # (N, T, 512)
-            pooled = tformer.apply(v_tf, gathered, deterministic=True)
-            return mlp.apply(head, pooled, train=False)
+            pooled = tformer.apply(v["tf"], gathered, deterministic=True)
+            return mlp.apply(v["head"], pooled, train=False)
 
-        self.frame_features = frame_features
-        self.fused_sweep = fused_sweep
+        self.frame_features_fn = jax.jit(_frame_features)
+        self.fused_sweep_fn = jax.jit(_fused_sweep)
+        self.frame_features = \
+            lambda frames: self.frame_features_fn(self.v, frames)
+        self.fused_sweep = lambda f, i: self.fused_sweep_fn(self.v, f, i)
 
     def sweep_video(self, frames_u8: np.ndarray,
                     batch: int = 512) -> np.ndarray:

@@ -297,18 +297,22 @@ def measure(sections: list[str], use_pallas: bool, cpu_mode: bool,
                 + np.arange(0, lf, cfg.dilation)[None, :], 0,
                 bucket + lf).astype(np.int32))
 
+            # sw.v enters as an ARGUMENT: composing the bound
+            # sw.fused_sweep inside this jit would re-embed the weights
+            # as HLO constants (325 MB executable, tunnel stall)
             @jax.jit
-            def run_sweep(frames, audio_raw, idx, n):
+            def run_sweep(v, frames, audio_raw, idx, n):
                 def body(i, acc):
                     f = frames.at[0, 0, 0, 0].set((i % 255).astype(jnp.uint8))
                     a = audio_raw.at[0, 0].set(i.astype(jnp.float32) * 1e-6)
                     feats = audio_frontend(a)
-                    o = sw.fused_sweep(f, feats, idx)
+                    o = sw.fused_sweep_fn(v, f, feats, idx)  # inlined
                     return acc + jnp.sum(o.astype(jnp.float32))
                 return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
             rate = _timed_rate(
-                lambda n: run_sweep(frames, audio_raw, idx, n), bucket, 2,
+                lambda n: run_sweep(sw.v, frames, audio_raw, idx, n),
+                bucket, 2,
                 32 if on_tpu else 3, wd=wd, label="dense_sweep")
             out["sections_done"].append("dense_sweep")
             set_value(rate, "dense_sweep")
@@ -419,7 +423,10 @@ def measure(sections: list[str], use_pallas: bool, cpu_mode: bool,
             out["e2e_clips"] = steady["clips"]
             out["sections_done"].append("e2e")
             _progress(f"e2e done: cold {cold['clips_per_sec']:.0f}, "
-                      f"steady {steady['clips_per_sec']:.0f} clips/s")
+                      f"steady {steady['clips_per_sec']:.0f} clips/s "
+                      f"(decode {steady.get('decode_seconds', 0):.1f}s, "
+                      f"sweep {steady.get('sweep_seconds', 0):.1f}s of "
+                      f"{steady['seconds']:.1f}s)")
             _emit(out)
         except Exception as e:
             errors["e2e"] = repr(e)[:300]

@@ -91,19 +91,21 @@ def main(argv=None):
         + np.arange(0, lf, cfg.dilation)[None, :], 0,
         bucket + lf).astype(np.int32))
 
+    # sw.v enters as an ARGUMENT — closing over the weights would embed
+    # them as HLO constants (see auformer/sweep.py)
     @jax.jit
-    def one(frames, audio_raw, idx):
+    def one(v, frames, audio_raw, idx):
         feats = audio_frontend(audio_raw)
-        return jnp.sum(sw.fused_sweep(frames, feats, idx)
+        return jnp.sum(sw.fused_sweep_fn(v, frames, feats, idx)
                        .astype(jnp.float32))
 
     # warm (compile outside the trace)
-    np.asarray(one(frames, audio_raw, idx))
+    np.asarray(one(sw.v, frames, audio_raw, idx))
 
     os.makedirs(args.trace_dir, exist_ok=True)
     t0 = time.perf_counter()
     with jax.profiler.trace(args.trace_dir):
-        futs = [one(frames, audio_raw, idx) for _ in range(args.iters)]
+        futs = [one(sw.v, frames, audio_raw, idx) for _ in range(args.iters)]
         np.asarray(jnp.stack(futs))
     wall = time.perf_counter() - t0
     rate = bucket * args.iters / wall
