@@ -3,9 +3,10 @@ measured per-op timings + MFU (VERDICT round-2 item 4).
 
 Runs the fused dense-sweep program (the BASELINE.md headline workload)
 under ``jax.profiler.trace``, saves the trace under ``.cache/profile/``,
-and — when the xplane proto is parseable with tensorboard_plugin_profile —
-prints the top time sinks by self-time plus the measured MFU
-(analytic FLOPs from XLA cost analysis / measured device time).
+then parses the xplane.pb in a subprocess (``scripts/xplane_stats.py`` —
+TF import + pure-python protobuf stay out of the TPU-holding process)
+and prints the top time sinks by device self-time plus the MEASURED MFU
+(analytic FLOPs from XLA cost analysis / profiler device busy time).
 
     python scripts/profile_trace.py [--bucket 512] [--iters 8]
 
@@ -16,9 +17,9 @@ docs/DESIGN.md can be re-derived: each run writes
 from __future__ import annotations
 
 import argparse
-import glob
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -27,25 +28,28 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 TRACE_DIR = os.path.join(REPO, ".cache", "profile")
 
+V5E_BF16_PEAK = 197e12
+V5E_F32_PEAK = 49e12
+
 
 def _op_stats_from_trace(trace_dir: str, top: int = 15):
-    """Parse the newest xplane.pb into (name, self_time_us) rows."""
-    planes = sorted(glob.glob(os.path.join(
-        trace_dir, "**", "*.xplane.pb"), recursive=True),
-        key=os.path.getmtime)
-    if not planes:
-        return None, "no xplane.pb found under " + trace_dir
+    """Parse the newest xplane.pb via the subprocess parser."""
+    env = dict(os.environ,
+               PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION="python",
+               JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "xplane_stats.py"),
+         trace_dir, "--top", str(top), "--json"],
+        capture_output=True, text=True, timeout=600, env=env)
+    line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
     try:
-        from tensorboard_plugin_profile.convert import raw_to_tool_data
-    except ImportError as e:
-        return None, f"tensorboard_plugin_profile unavailable: {e}"
-    try:
-        data, _ = raw_to_tool_data.xspace_to_tool_data(
-            [planes[-1]], "framework_op_stats", {})
-        rows = json.loads(data) if isinstance(data, (str, bytes)) else data
-    except Exception as e:  # tool-version drift: fall back to raw report
-        return None, f"xplane parse failed: {e!r}"
-    return rows, planes[-1]
+        rows = json.loads(line)
+    except (json.JSONDecodeError, ValueError):
+        return None, (f"xplane_stats rc={proc.returncode}: "
+                      f"{(proc.stderr or proc.stdout)[-400:]}")
+    if "error" in rows:
+        return None, rows["error"]
+    return rows, rows["xplane"]
 
 
 def main(argv=None):
@@ -53,6 +57,10 @@ def main(argv=None):
     p.add_argument("--bucket", type=int, default=512)
     p.add_argument("--iters", type=int, default=8)
     p.add_argument("--trace_dir", default=TRACE_DIR)
+    p.add_argument("--gflops-per-clip", type=float, default=7.24,
+                   help="fallback analytic GFLOP/clip when the backend's "
+                        "cost analysis is unavailable (default: "
+                        "scripts/flops_report.py dense-sweep @ bucket 512)")
     args = p.parse_args(argv)
 
     import jax
@@ -102,6 +110,28 @@ def main(argv=None):
     # warm (compile outside the trace)
     np.asarray(one(sw.v, frames, audio_raw, idx))
 
+    # analytic FLOPs of the traced program (unoptimized-HLO cost analysis;
+    # the axon backend returns None from lowered cost_analysis, so fall
+    # back to the compiled analysis, then to --gflops-per-clip which
+    # defaults to scripts/flops_report.py's number at bucket=512)
+    flops_per_call = None
+    lowered = jax.jit(one).lower(sw.v, frames, audio_raw, idx)
+    for get in (lowered.cost_analysis,
+                lambda: lowered.compile().cost_analysis()):
+        try:
+            cost = get()
+            if isinstance(cost, list):
+                cost = cost[0]
+            flops_per_call = float(cost["flops"])
+            break
+        except Exception:
+            continue
+    if flops_per_call is None and args.gflops_per_clip:
+        flops_per_call = args.gflops_per_clip * 1e9 * bucket
+        print(f"NOTE: XLA cost analysis unavailable; using "
+              f"--gflops-per-clip={args.gflops_per_clip} "
+              "(analytic, scripts/flops_report.py)")
+
     os.makedirs(args.trace_dir, exist_ok=True)
     t0 = time.perf_counter()
     with jax.profiler.trace(args.trace_dir):
@@ -118,8 +148,25 @@ def main(argv=None):
         print(f"NOTE: per-op stats unavailable ({src}); trace saved under "
               f"{args.trace_dir} for offline analysis")
         return
-    print(f"per-op stats from {src}:")
-    print(json.dumps(rows, indent=1, default=str)[:4000])
+    busy_s = rows["device_busy_us"] / 1e6
+    dev_rate = bucket * args.iters / busy_s if busy_s > 0 else 0.0
+    print(f"\nper-op device stats from {src} (plane {rows['plane']}):")
+    print(f"device busy: {busy_s * 1e3:.1f} ms for {args.iters} buckets "
+          f"-> {busy_s * 1e3 / args.iters:.1f} ms/bucket, "
+          f"{dev_rate:.0f} clips/s device-bound")
+    print(f"{'HLO op':<52} {'ms':>9} {'%':>6}")
+    for r in rows["top_ops"]:
+        print(f"{r['name'][:52]:<52} {r['us'] / 1e3:9.3f} {r['pct']:5.1f}%")
+    print("by category:")
+    for r in rows["categories"]:
+        print(f"  {r['name'][:50]:<50} {r['us'] / 1e3:9.3f} {r['pct']:5.1f}%")
+    if flops_per_call and busy_s > 0:
+        tfs = flops_per_call * args.iters / busy_s / 1e12
+        print(f"\nMEASURED MFU (profiler device time): "
+              f"{flops_per_call / bucket / 1e9:.2f} GFLOP/clip @ "
+              f"{dev_rate:.0f} clips/s device-bound -> {tfs:.1f} TF/s = "
+              f"{tfs * 1e12 / V5E_BF16_PEAK * 100:.1f}% of v5e bf16 peak "
+              f"({tfs * 1e12 / V5E_F32_PEAK * 100:.1f}% of f32 peak)")
 
 
 if __name__ == "__main__":
