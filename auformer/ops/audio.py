@@ -103,11 +103,11 @@ def num_frames(n_samples: int, hop_length: int = HOP_LENGTH) -> int:
 
 
 @functools.lru_cache(maxsize=4)
-def _dft_filters(n_fft: int, win_length: int) -> np.ndarray:
-    """Windowed DFT basis as conv filters: (n_fft, 1, 2*(n_fft//2+1)).
+def _dft_basis(n_fft: int, win_length: int) -> np.ndarray:
+    """Windowed DFT basis, shape (n_fft, 2*(n_fft//2+1)).
 
-    Row layout [cos_0..cos_F | sin_0..sin_F] so a strided convolution of the
-    padded signal produces interleaved real/imag STFT banks in one MXU pass.
+    Column layout [cos_0..cos_F | sin_0..sin_F]: a matmul of framed audio
+    with this basis produces the real/imag STFT banks in one MXU pass.
     """
     n_freqs = n_fft // 2 + 1
     n = np.arange(n_fft)[:, None]
@@ -116,24 +116,42 @@ def _dft_filters(n_fft: int, win_length: int) -> np.ndarray:
     w = padded_window(win_length, n_fft).astype(np.float64)[:, None]
     cos = np.cos(ang) * w
     sin = -np.sin(ang) * w
-    return np.concatenate([cos, sin], axis=1).astype(
-        np.float32).reshape(n_fft, 1, 2 * n_freqs)
+    return np.concatenate([cos, sin], axis=1).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=4)
+def _dft_filters(n_fft: int, win_length: int) -> np.ndarray:
+    """Windowed DFT basis as conv filters: (n_fft, 1, 2*(n_fft//2+1))."""
+    n_freqs = n_fft // 2 + 1
+    return _dft_basis(n_fft, win_length).reshape(n_fft, 1, 2 * n_freqs)
 
 
 def power_spectrogram(audio: jax.Array,
                       n_fft: int = N_FFT,
                       hop_length: int = HOP_LENGTH,
                       win_length: int = WIN_LENGTH,
-                      method: str = "conv",
-                      conv_dtype=jnp.float32) -> jax.Array:
+                      method: str = "matmul",
+                      conv_dtype=jnp.float32,
+                      precision=None) -> jax.Array:
     """(..., L) float32 -> (..., T, n_fft//2+1) power spectrogram.
 
-    method='conv' (default): STFT as ONE strided convolution with the
-    windowed DFT basis — the whole transform is a dense f32 matmul on the
-    MXU, ~10x faster on TPU than the gather+rfft lowering (method='fft',
-    kept for cross-checking). ``conv_dtype=jnp.bfloat16`` trades ~1e-2
-    relative spectrum accuracy (~0.05 dB post-log) for ~4x MXU rate — NOT
-    bit-faithful; keep the f32 default for parity-sensitive paths.
+    method='matmul' (default): frames are assembled from hop-aligned
+    contiguous row blocks (pure reshape + slice + concat — the window
+    support spans at most ceil((left+win)/hop) hop rows) and the STFT is
+    ONE dense (B*T, win) x (win, 2F) MXU matmul with the windowed DFT
+    basis trimmed to the window support (win=882 of n_fft=1024 rows are
+    nonzero). ~2.5x faster than method='conv' (the strided-conv lowering
+    pays an implicit-im2col at 29% MXU efficiency plus a layout
+    relayout — round-3 profiler trace, docs/DESIGN.md) and ~25x faster
+    than the gather+rfft lowering (method='fft', kept for cross-checks).
+
+    Precision on TPU: with ``precision=None`` XLA contracts f32 inputs at
+    DEFAULT precision — ONE bf16 pass with f32 accumulation (~1e-3
+    relative spectrum accuracy; the round-3 trace showed the old f32 conv
+    was already lowered this way). Pass ``precision='highest'`` for true
+    f32 (6-pass) on parity-strict paths; CPU is always true f32.
+    ``conv_dtype=jnp.bfloat16`` additionally casts the operands (the
+    ``mel_bf16`` fast path).
     """
     pad = n_fft // 2
     lead = audio.shape[:-1]
@@ -141,15 +159,43 @@ def power_spectrogram(audio: jax.Array,
                 mode="reflect")
     n = audio.shape[-1]
     t = num_frames(n, hop_length)
+    n_freqs = n_fft // 2 + 1
+    left = (n_fft - win_length) // 2
+    if method == "matmul":
+        # frame k covers padded samples [k*hop + left, k*hop + left + win):
+        # split into hop-aligned blocks; block r of frame k is row k+r,
+        # cols [max(left - r*hop, 0), min(left + win - r*hop, hop))
+        r_last = (left + win_length - 1) // hop_length
+        rows = t + r_last
+        need = rows * hop_length
+        have = x.shape[-1]
+        if need > have:
+            x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, need - have)])
+        x3 = x[..., :need].reshape(-1, rows, hop_length)
+        blocks = []
+        for r in range(r_last + 1):
+            c0 = max(left - r * hop_length, 0)
+            c1 = min(left + win_length - r * hop_length, hop_length)
+            blocks.append(x3[:, r:r + t, c0:c1])
+        frames = jnp.concatenate(blocks, axis=-1)    # (B', T, win)
+        basis = jnp.asarray(
+            _dft_basis(n_fft, win_length)[left:left + win_length])
+        spec = jax.lax.dot_general(
+            frames.astype(conv_dtype), basis.astype(conv_dtype),
+            (((frames.ndim - 1,), (0,)), ((), ())),
+            precision=precision,
+            preferred_element_type=jnp.float32)      # (B', T, 2F)
+        power = spec[..., :n_freqs] ** 2 + spec[..., n_freqs:] ** 2
+        return power.reshape(*lead, t, n_freqs)
     if method == "conv":
         filt = jnp.asarray(_dft_filters(n_fft, win_length))
         xf = x.reshape(-1, x.shape[-1], 1).astype(conv_dtype)  # NWC
         spec = jax.lax.conv_general_dilated(
             xf, filt.astype(conv_dtype), window_strides=(hop_length,),
             padding="VALID", dimension_numbers=("NWC", "WIO", "NWC"),
+            precision=precision,
             preferred_element_type=jnp.float32)      # (B', T, 2F)
         spec = spec[:, :t]
-        n_freqs = n_fft // 2 + 1
         power = spec[..., :n_freqs] ** 2 + spec[..., n_freqs:] ** 2
         return power.reshape(*lead, t, n_freqs)
     # reference lowering: frame gather + rfft
@@ -166,10 +212,12 @@ def mel_spectrogram(audio: jax.Array,
                     n_fft: int = N_FFT,
                     hop_length: int = HOP_LENGTH,
                     win_length: int = WIN_LENGTH,
-                    conv_dtype=jnp.float32) -> jax.Array:
+                    conv_dtype=jnp.float32,
+                    precision=None) -> jax.Array:
     """(..., L) -> (..., n_mels, T) mel power spectrogram (torchaudio layout)."""
     spec = power_spectrogram(audio, n_fft, hop_length, win_length,
-                             conv_dtype=conv_dtype)      # (..., T, F)
+                             conv_dtype=conv_dtype,
+                             precision=precision)        # (..., T, F)
     fb = jnp.asarray(mel_filterbank(n_fft // 2 + 1, 0.0, None, n_mels, sample_rate))
     mel = jnp.einsum("...tf,fm->...mt", spec, fb,
                      preferred_element_type=jnp.float32)
@@ -198,12 +246,14 @@ def normalize_spec(x: jax.Array,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("n_mels", "out_frames", "mel_bf16"))
+                   static_argnames=("n_mels", "out_frames", "mel_bf16",
+                                    "precision"))
 def audio_frontend(audio: jax.Array,
                    feature_len: jax.Array | None = None,
                    n_mels: int = N_MELS,
                    out_frames: int = 1001,
-                   mel_bf16: bool = False) -> jax.Array:
+                   mel_bf16: bool = False,
+                   precision: str | None = None) -> jax.Array:
     """Full fused frontend: (B, L) raw audio -> (B, 1, n_mels, out_frames).
 
     ``feature_len`` (B,) int32 — number of *valid* mel frames per sample
@@ -213,12 +263,15 @@ def audio_frontend(audio: jax.Array,
     -80 dB-from-max floor, i.e. exactly what AmpToDB does to zeros
     (aff2compdataset.py:234-241).
     """
-    # mel_bf16 (opt-in, NOT bit-faithful): the DFT conv in bf16 trades
-    # ~0.05 dB post-log accuracy for ~4x MXU rate — the mel is 30% of the
-    # dense sweep's FLOPs and the only f32 block (scripts/flops_report.py)
+    # mel_bf16 (opt-in): casts the DFT operands to bf16 — on TPU this is
+    # nearly the same numerics as the default (XLA contracts f32 at
+    # DEFAULT precision = one bf16 pass; see power_spectrogram), but it
+    # also shrinks CPU-side compute. precision='highest' forces true f32
+    # on TPU for parity-strict runs.
     mel = mel_spectrogram(audio, n_mels=n_mels,
                           conv_dtype=jnp.bfloat16 if mel_bf16
-                          else jnp.float32)                 # (B, n_mels, T)
+                          else jnp.float32,
+                          precision=precision)              # (B, n_mels, T)
     t = mel.shape[-1]
     if t > out_frames:
         mel = mel[..., -out_frames:]

@@ -3,8 +3,10 @@
 Uses XLA's compiled cost analysis to count the FLOPs of one dense-sweep
 bucket and one clip-batch forward, then converts the driver-measured
 clip rates into achieved TF/s and MFU against the v5e peak
-(197 TF/s bf16; the mel conv runs f32 where peak is ~49 TF/s, so the
-blended ceiling sits between the two).
+(197 TF/s bf16; the round-3 profiler trace showed XLA contracts the
+"f32" DFT at DEFAULT precision = one bf16 pass, so the bf16 peak is the
+right ceiling for every block — see scripts/profile_trace.py for the
+trace-measured number).
 
     python scripts/flops_report.py [--sweep-rate 8616] [--clip-rate 3273]
 """
@@ -101,7 +103,7 @@ def main(argv=None):
     line("clip batch", f_clip, args.batch, args.clip_rate)
     print(f"{'mel frontend share':<22} {mel_flops / args.bucket / 1e9:8.2f} "
           f"GFLOP/clip ({mel_flops / f_sweep * 100:.0f}% of sweep FLOPs, "
-          f"runs f32 on the MXU)")
+          "bf16-contracted at DEFAULT precision)")
 
 
 if __name__ == "__main__":

@@ -52,6 +52,21 @@ def test_device_power_spec_vs_host(wave):
     np.testing.assert_allclose(dev, host, rtol=2e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("n", [44100, 441000, 12345, 441])
+def test_power_spec_methods_agree(n):
+    """matmul (default), conv, and gather+rfft lowerings agree; the matmul
+    frame assembly (hop-aligned blocks + window-support-trimmed basis)
+    is checked at awkward lengths incl. a single-frame tail."""
+    rs = np.random.RandomState(n)
+    x = (rs.randn(2, n) * 0.3).astype(np.float32)
+    mm = np.asarray(A.power_spectrogram(x, method="matmul"))
+    cv = np.asarray(A.power_spectrogram(x, method="conv"))
+    ft = np.asarray(A.power_spectrogram(x, method="fft"))
+    assert mm.shape == cv.shape == ft.shape == (2, 1 + n // 441, 513)
+    np.testing.assert_allclose(mm, cv, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(mm, ft, rtol=1e-4, atol=1e-4)
+
+
 def test_mel_fb_properties():
     fb = A.mel_filterbank()
     assert fb.shape == (513, 64)
