@@ -247,13 +247,14 @@ def normalize_spec(x: jax.Array,
 
 @functools.partial(jax.jit,
                    static_argnames=("n_mels", "out_frames", "mel_bf16",
-                                    "precision"))
+                                    "precision", "use_pallas"))
 def audio_frontend(audio: jax.Array,
                    feature_len: jax.Array | None = None,
                    n_mels: int = N_MELS,
                    out_frames: int = 1001,
                    mel_bf16: bool = False,
-                   precision: str | None = None) -> jax.Array:
+                   precision: str | None = None,
+                   use_pallas: bool = False) -> jax.Array:
     """Full fused frontend: (B, L) raw audio -> (B, 1, n_mels, out_frames).
 
     ``feature_len`` (B,) int32 — number of *valid* mel frames per sample
@@ -262,7 +263,22 @@ def audio_frontend(audio: jax.Array,
     reference's left-pad-then-AmpToDB behavior: padded columns sit at the
     -80 dB-from-max floor, i.e. exactly what AmpToDB does to zeros
     (aff2compdataset.py:234-241).
+
+    ``use_pallas``: route to the fully-fused Pallas kernel
+    (ops/audio_pallas.py) when the backend is TPU, the shape is the fixed
+    serving buffer (L=441000, out_frames=1001), and no explicit precision
+    override is requested. SILENT fallback otherwise (mirrors
+    ops/attention.py::fused_attention). The kernel's numerics class equals
+    the TPU default (bf16-contracted DFT, f32 elsewhere). Opt-in only:
+    measured at parity with this XLA path on v5e (17.8 vs 17.1 ms per
+    512-clip bucket, 2026-08-17) — see ops/audio_pallas.py docstring.
     """
+    if (use_pallas and precision is None
+            and audio.ndim == 2 and audio.shape[-1] == 441000
+            and out_frames == 1001
+            and jax.default_backend() == "tpu"):
+        from .audio_pallas import mel_frontend_pallas
+        return mel_frontend_pallas(audio, feature_len, n_mels=n_mels)
     # mel_bf16 (opt-in): casts the DFT operands to bf16 — on TPU this is
     # nearly the same numerics as the default (XLA contracts f32 at
     # DEFAULT precision = one bf16 pass; see power_spectrogram), but it
