@@ -142,18 +142,26 @@ def run_inference(cfg: Config, variables, result_path: str = "results",
 def run_inference_sweep(cfg: Config, variables,
                         result_path: str = "results",
                         dataset: Aff2TestDataset | None = None,
-                        bucket: int = 512) -> np.ndarray:
+                        bucket: int = 512, mesh=None) -> np.ndarray:
     """Dense-sweep inference (auformer/sweep.py): per video, decode every
     test frame once, run the trunk once per frame, and score all windows
     through the temporal/fusion heads — bit-identical logits to
     ``run_inference`` at a fraction of the compute. Supports avformer
     (A/V, 12 AU logits) and vformer (visual-only, all 21 logits —
     test_aff2.py:117-119); other models use ``run_inference``.
+
+    With more than one visible device (or an explicit ``mesh``), the sweep
+    runs data-parallel: weights replicate over ``cfg.mesh_shape`` and each
+    bucket's frames shard over the 'data' axis (parity tested on a virtual
+    8-device mesh, tests/test_sweep_sharded.py).
     """
     from .sweep import make_sweep
 
     dataset = _testset(cfg, dataset)
-    sweep = make_sweep(cfg, variables)
+    if mesh is None and jax.device_count() > 1 and "model" not in cfg.mesh_shape:
+        from .core.mesh import make_mesh
+        mesh = make_mesh(cfg.mesh_shape)
+    sweep = make_sweep(cfg, variables, mesh=mesh)
     h = w = cfg.image_size
 
     test_idx = np.nonzero(dataset.test_ids)[0]

@@ -63,15 +63,26 @@ class SweepBase:
         at construction; with committed input shardings the jitted sweep
         compiles as one GSPMD data-parallel program — the trunk runs on
         batch shards and XLA inserts the (tiny, (N+1)x512) feature
-        all-gather the cross-shard window gather needs. Uneven leading
-        dims (the batch+label_frame frames chunk) shard fine — GSPMD pads
-        the last shard."""
+        all-gather the cross-shard window gather needs.
+
+        ``device_put`` requires the sharded dim divisible by the axis size,
+        so leading dims are padded to the next multiple by repeating the
+        last row — window rows never reference pad rows (the black slot sits
+        below them), and callers slice outputs by the true count, so pads
+        are dead weight only. Padded shapes are constant per bucket shape:
+        no extra compiles."""
         if self.mesh is None:
             return arrays if len(arrays) > 1 else arrays[0]
         from .core.mesh import data_sharding
-        placed = tuple(
-            jax.device_put(a, data_sharding(self.mesh, np.ndim(a)))
-            for a in arrays)
+        d = self.mesh.shape["data"]
+
+        def _place(a):
+            r = (-a.shape[0]) % d
+            if r:
+                a = np.concatenate([a, np.repeat(a[-1:], r, axis=0)])
+            return jax.device_put(a, data_sharding(self.mesh, np.ndim(a)))
+
+        placed = tuple(_place(np.asarray(a)) for a in arrays)
         return placed if len(placed) > 1 else placed[0]
 
     def _place_weights(self, tree):

@@ -33,10 +33,10 @@ def test_avformer_sweep_sharded_matches_single_device():
     frames = rs.randint(0, 256, (n, 32, 32, 3)).astype(np.uint8)
     audio = rs.randn(n, 1, 64, 1001).astype(np.float32)
 
-    ref = make_sweep(cfg, variables).sweep_video(frames, audio, batch=16)
+    ref = make_sweep(cfg, variables).sweep_video(frames, audio, batch=12)
     mesh = make_mesh("data:-1")
     got = make_sweep(cfg, variables, mesh=mesh).sweep_video(
-        frames, audio, batch=16)
+        frames, audio, batch=12)
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
 
 
@@ -48,8 +48,8 @@ def test_vformer_sweep_sharded_matches_single_device():
     n = 13
     frames = rs.randint(0, 256, (n, 32, 32, 3)).astype(np.uint8)
 
-    ref = make_sweep(cfg, variables).sweep_video(frames, batch=8)
+    ref = make_sweep(cfg, variables).sweep_video(frames, batch=6)
     mesh = make_mesh("data:-1")
-    got = make_sweep(cfg, variables, mesh=mesh).sweep_video(frames, batch=8)
+    got = make_sweep(cfg, variables, mesh=mesh).sweep_video(frames, batch=6)
     assert got.shape == (n, 21)
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
