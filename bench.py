@@ -415,9 +415,13 @@ def measure(sections: list[str], use_pallas: bool, cpu_mode: bool,
             out["e2e_cold_clips_per_sec"] = round(cold["clips_per_sec"], 2)
             _emit(out)
             wd.section("e2e steady pass", 420)
+            # steady state reuses the cold pass's sweep instance — a fresh
+            # one re-pays ~20 s of executable load even on a compile-cache
+            # hit (see serve.sweep_serve_benchmark)
             steady = sweep_serve_benchmark(e2e_cfg, variables, dataset=ds,
                                            bucket=512, warmup=False,
-                                           max_clips=E2E_MAX_CLIPS)
+                                           max_clips=E2E_MAX_CLIPS,
+                                           sweep=cold["sweep"])
             out["e2e_decode_infer_clips_per_sec"] = round(
                 steady["clips_per_sec"], 2)
             out["e2e_clips"] = steady["clips"]
