@@ -153,26 +153,48 @@ def sweep_serve_benchmark(cfg: Config, variables, dataset=None,
     # cut will discard — the executor shutdown would join its decode and
     # bill dead time to the benchmark (1-CPU box: ~9 s for a 5120-frame
     # video contending with the sweep dispatch thread)
+    # the max_clips cut is decided upfront (same semantics as a
+    # stop-when-reached loop: process whole videos until the cumulative
+    # clip count reaches the cap) so the pipeline below never prefetches
+    # or decodes a video the cut would discard
     counts = [int(np.sum(dataset.video_db_nr[test_idx] == v))
               for v in videos]
+    if max_clips is not None:
+        k, acc = 0, 0
+        while k < len(videos) and acc < max_clips:
+            acc += counts[k]
+            k += 1
+        videos, counts = videos[:k], counts[:k]
     n_done = 0
     sweep_s = 0.0
     t0 = time.perf_counter()
+    # 3-stage software pipeline: while the device sweeps video i, the host
+    # decodes video i+1 (native decoder drops the GIL) and then blocks on
+    # video i-1's result — one D2H fetch per video, and the decode runs
+    # while the device is busy (the tunnel client spin-waits when idle,
+    # which starves host threads on a 1-CPU box; overlapping hides it)
+    prev = None  # (clip_count, dispatch handle)
     with ThreadPoolExecutor(max_workers=1) as ex:
         nxt = ex.submit(load_video, videos[0]) if videos else None
-        done_after = counts[0] if counts else 0
         for i, _video_nr in enumerate(videos):
-            if max_clips is not None and n_done >= max_clips:
-                break
             vid_idx, frames, wav, ts = nxt.result()
-            if i + 1 < len(videos) and (
-                    max_clips is None or done_after < max_clips):
+            if i + 1 < len(videos):
                 nxt = ex.submit(load_video, videos[i + 1])
-                done_after += counts[i + 1]
             ts_sweep = time.perf_counter()
-            sweep.sweep_video_device_audio(frames, wav, ts, batch=bucket)
+            handle = sweep.dispatch_video_device_audio(
+                frames, wav, ts, batch=bucket)
+            if prev is not None:
+                pc, ph = prev
+                sweep.fetch_video_device_audio(ph)
+                n_done += pc
+            prev = (len(vid_idx), handle)
             sweep_s += time.perf_counter() - ts_sweep
-            n_done += len(vid_idx)
+        if prev is not None:
+            ts_sweep = time.perf_counter()
+            pc, ph = prev
+            sweep.fetch_video_device_audio(ph)
+            n_done += pc
+            sweep_s += time.perf_counter() - ts_sweep
     dt = time.perf_counter() - t0
     return {"clips": n_done, "seconds": dt, "decode_seconds": decode_s,
             "sweep_seconds": sweep_s, "sweep": sweep,

@@ -369,16 +369,15 @@ class AvformerSweep(SweepBase):
             n_valid[i] = nv
         return starts, n_valid
 
-    def sweep_video_device_audio(self, frames_u8: np.ndarray,
-                                 wav: np.ndarray,
-                                 timestamps_ms: np.ndarray,
-                                 batch: int = 512) -> np.ndarray:
-        """Dense sweep shipping the video's audio to the device ONCE.
-
-        frames_u8 (N,H,W,3) uint8, wav (L,) float32 full-video mono,
-        timestamps_ms (N,). The per-window gather + mel run inside the
-        fused device program (fused_sweep_device_audio).
-        """
+    def dispatch_video_device_audio(self, frames_u8: np.ndarray,
+                                    wav: np.ndarray,
+                                    timestamps_ms: np.ndarray,
+                                    batch: int = 512):
+        """Dispatch a whole video's dense sweep asynchronously; returns an
+        opaque handle for :meth:`fetch_video_device_audio`. Splitting
+        dispatch from fetch lets a serving loop keep the device busy with
+        video *i* while the host decodes video *i+1* and fetches *i-1*
+        (serve.py::sweep_serve_benchmark)."""
         import jax as _jax
         cfg = self.cfg
         n = frames_u8.shape[0]
@@ -393,7 +392,6 @@ class AvformerSweep(SweepBase):
         wav_dev = _jax.device_put(wav_ext)
         starts, n_valid = self.audio_window_plan(timestamps_ms, wav.shape[0])
 
-        out = np.zeros((n, 12), np.float32)
         # dispatch every bucket asynchronously and fetch ONE concatenated
         # result per video: the attached chip's RPC tunnel charges >1s per
         # device->host fetch regardless of size, so per-bucket fetches
@@ -405,6 +403,13 @@ class AvformerSweep(SweepBase):
             fut = self.fused_sweep_device_audio(
                 frames_chunk, wav_dev, st, nv, rows)
             pending.append((s, cur, fut))
+        return (n, pending)
+
+    @staticmethod
+    def fetch_video_device_audio(handle) -> np.ndarray:
+        """Block on a :meth:`dispatch_video_device_audio` handle -> (N,12)."""
+        n, pending = handle
+        out = np.zeros((n, 12), np.float32)
         if pending:
             cat = np.asarray(jnp.concatenate([f for _, _, f in pending]))
             o = 0
@@ -412,6 +417,19 @@ class AvformerSweep(SweepBase):
                 out[ps:ps + pcur] = cat[o:o + pcur]
                 o += f.shape[0]
         return out
+
+    def sweep_video_device_audio(self, frames_u8: np.ndarray,
+                                 wav: np.ndarray,
+                                 timestamps_ms: np.ndarray,
+                                 batch: int = 512) -> np.ndarray:
+        """Dense sweep shipping the video's audio to the device ONCE.
+
+        frames_u8 (N,H,W,3) uint8, wav (L,) float32 full-video mono,
+        timestamps_ms (N,). The per-window gather + mel run inside the
+        fused device program (fused_sweep_device_audio)."""
+        return self.fetch_video_device_audio(
+            self.dispatch_video_device_audio(
+                frames_u8, wav, timestamps_ms, batch=batch))
 
     def sweep_video(self, frames_u8: np.ndarray,
                     audio_features: np.ndarray,

@@ -61,9 +61,9 @@ BASELINE_CLIPS_PER_SEC = 39.0
 REPO = os.path.dirname(os.path.abspath(__file__))
 E2E_CACHE = os.path.join(REPO, ".cache", "bench_e2e")
 COMPILE_CACHE = os.path.join(REPO, ".cache", "jax_compile")
-E2E_VIDEOS = 2
-E2E_FRAMES = 5120  # 2 x 5120 = 10240 test clips
-E2E_MAX_CLIPS = 2048  # stop after the first whole video (5120 clips)
+E2E_VIDEOS = 4
+E2E_FRAMES = 1280  # 4 x 1280 = 5120 test clips
+E2E_MAX_CLIPS = 5120  # whole fixture: pipeline amortizes per-video stalls
 
 _T0 = time.monotonic()
 
@@ -75,8 +75,15 @@ def _progress(msg: str) -> None:
 
 def _ensure_e2e_dataset():
     """Synthetic all-test dataset of real 112x112 JPEGs (cached on disk)."""
+    import shutil
     from auformer.data.fixtures import generate_synthetic_dataset
     marker = os.path.join(E2E_CACHE, "root", "video2orignal.pkl")
+    params = os.path.join(E2E_CACHE, "fixture_params.txt")
+    want = f"{E2E_VIDEOS}x{E2E_FRAMES}@112"
+    if os.path.isfile(marker) and (
+            not os.path.isfile(params)
+            or open(params).read().strip() != want):
+        shutil.rmtree(E2E_CACHE, ignore_errors=True)  # stale fixture shape
     if not os.path.isfile(marker):
         generate_synthetic_dataset(
             os.path.join(E2E_CACHE, "root"),
@@ -84,6 +91,9 @@ def _ensure_e2e_dataset():
             n_videos=E2E_VIDEOS, frames_per_video=E2E_FRAMES,
             image_size=112, splits=["test"],
             audio_secs=E2E_FRAMES / 30.0 + 0.5)
+        os.makedirs(E2E_CACHE, exist_ok=True)
+        with open(params, "w") as f:
+            f.write(want)
     return (os.path.join(E2E_CACHE, "root"),
             os.path.join(E2E_CACHE, "labels"),
             os.path.join(E2E_CACHE, "cache"))
