@@ -70,10 +70,107 @@ def serve_benchmark(cfg: Config, variables, dataset=None,
             "clips_per_sec": n / dt if dt > 0 else 0.0}
 
 
+def _decode_worker_main(conn, cfg: Config) -> None:
+    """Decode-worker child: serve (vid_idx, frames, wav, ts, decode_s) per
+    requested video db-nr until a ``None`` request.
+
+    A separate PROCESS, not a thread: the axon tunnel client spin-waits
+    while the parent blocks on a device fetch, starving sibling threads of
+    both CPU and GIL (measured 36x decode slowdown on the 1-CPU box,
+    2026-08-17). A child process owns its GIL and gets its own scheduler
+    share, so decode throughput is independent of the parent's fetch state
+    — the same isolation torch's DataLoader workers give the reference
+    pipeline (SURVEY.md L1)."""
+    import time as _time
+
+    from .data.testset import Aff2TestDataset, strip_position
+    from .ops import audio_host
+
+    ds = Aff2TestDataset(cfg)
+    test_idx = np.nonzero(ds.test_ids)[0]
+    audio_dir = getattr(ds, "audio_dir", cfg.root)
+    h = w = cfg.image_size
+    conn.send("ready")  # startup handshake: imports + dataset ctor done
+    while True:
+        video_nr = conn.recv()
+        if video_nr is None:
+            conn.close()
+            return
+        t0 = _time.perf_counter()
+        vid_idx = test_idx[ds.video_db_nr[test_idx] == video_nr]
+        video_id = os.path.dirname(ds.image_path[vid_idx[0]])
+        keys = [ds._store_key(ds.image_path[i]) for i in vid_idx]
+        frames = np.zeros((len(keys), h, w, 3), np.uint8)
+        if ds.native_image is not None:
+            decoded, ok = ds.native_image.decode_batch(keys, h, w, 3)
+            frames[ok] = decoded[ok]
+        else:
+            for j, k in enumerate(keys):
+                img = ds._get_image_by_key(k)
+                if img is not None and img.shape[:2] == (h, w):
+                    frames[j] = img
+        try:
+            wav, _sr = audio_host.load_wav(
+                os.path.join(audio_dir, strip_position(video_id) + ".wav"))
+            wav = wav[0]
+        except (OSError, EOFError, ValueError):
+            wav = np.zeros(1, np.float32)
+        ts = np.asarray(ds.time_stamps)[vid_idx]
+        conn.send((vid_idx, frames, wav, ts, _time.perf_counter() - t0))
+
+
+class DecodeWorker:
+    """Process-isolated video decoder (see _decode_worker_main). ``spawn``
+    start method: never forks an initialized TPU client. The child is
+    forced onto the CPU backend and never queries devices anyway."""
+
+    def __init__(self, cfg: Config):
+        import multiprocessing as mp
+
+        ctx = mp.get_context("spawn")
+        self._conn, child = ctx.Pipe()
+        saved = os.environ.get("JAX_PLATFORMS")
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        try:
+            self._proc = ctx.Process(target=_decode_worker_main,
+                                     args=(child, cfg), daemon=True)
+            self._proc.start()
+        finally:
+            if saved is None:
+                os.environ.pop("JAX_PLATFORMS", None)
+            else:
+                os.environ["JAX_PLATFORMS"] = saved
+        child.close()
+        # bounded startup handshake (child imports + dataset ctor; ~10-30 s
+        # on the 1-CPU box). On death/hang: clean up and raise so the
+        # caller falls back to the thread pipeline.
+        if not self._conn.poll(timeout=180) or self._conn.recv() != "ready":
+            self._proc.terminate()
+            self._conn.close()
+            raise RuntimeError("decode worker failed to start")
+
+    def request(self, video_nr) -> None:
+        self._conn.send(video_nr)
+
+    def result(self):
+        return self._conn.recv()
+
+    def close(self) -> None:
+        try:
+            self._conn.send(None)
+            self._proc.join(timeout=5)
+        except (OSError, ValueError):
+            pass
+        if self._proc.is_alive():
+            self._proc.terminate()
+        self._conn.close()
+
+
 def sweep_serve_benchmark(cfg: Config, variables, dataset=None,
                           bucket: int = 512,
                           max_clips: int | None = None,
-                          warmup: bool = True, sweep=None) -> dict:
+                          warmup: bool = True, sweep=None,
+                          decode_worker=None) -> dict:
     """End-to-end decode->FUSED A/V inference clips/s via the dense sweep
     (BASELINE.md throughput row: includes host store reads + JPEG decode +
     wav read; the trunk runs once per frame and the per-window audio mel
@@ -165,37 +262,68 @@ def sweep_serve_benchmark(cfg: Config, variables, dataset=None,
             acc += counts[k]
             k += 1
         videos, counts = videos[:k], counts[:k]
+    # 3-stage software pipeline: while the device sweeps video i, the host
+    # decodes video i+1 in the worker PROCESS and then blocks on video
+    # i-1's result — one D2H fetch per video. Thread fallback when the
+    # worker can't start (decode then contends with the parent's
+    # spin-waiting fetches; see _decode_worker_main). Worker startup
+    # (child imports + dataset ctor) happens BEFORE the clock — one-time
+    # setup like XLA compile, not decode work; video decode itself is
+    # always billed inside the clock via the reported per-video seconds.
+    worker = decode_worker
+    if worker is None and videos:
+        try:
+            worker = DecodeWorker(cfg)
+        except Exception:
+            worker = None
     n_done = 0
     sweep_s = 0.0
     t0 = time.perf_counter()
-    # 3-stage software pipeline: while the device sweeps video i, the host
-    # decodes video i+1 (native decoder drops the GIL) and then blocks on
-    # video i-1's result — one D2H fetch per video, and the decode runs
-    # while the device is busy (the tunnel client spin-waits when idle,
-    # which starves host threads on a 1-CPU box; overlapping hides it)
-    prev = None  # (clip_count, dispatch handle)
-    with ThreadPoolExecutor(max_workers=1) as ex:
-        nxt = ex.submit(load_video, videos[0]) if videos else None
-        for i, _video_nr in enumerate(videos):
-            vid_idx, frames, wav, ts = nxt.result()
-            if i + 1 < len(videos):
-                nxt = ex.submit(load_video, videos[i + 1])
-            ts_sweep = time.perf_counter()
-            handle = sweep.dispatch_video_device_audio(
-                frames, wav, ts, batch=bucket)
-            if prev is not None:
-                pc, ph = prev
-                sweep.fetch_video_device_audio(ph)
-                n_done += pc
-            prev = (len(vid_idx), handle)
-            sweep_s += time.perf_counter() - ts_sweep
+
+    def _fetch_prev(prev):
+        nonlocal n_done
         if prev is not None:
-            ts_sweep = time.perf_counter()
             pc, ph = prev
             sweep.fetch_video_device_audio(ph)
             n_done += pc
+
+    prev = None  # (clip_count, dispatch handle)
+    if worker is not None and videos:
+        worker.request(videos[0])
+        for i, _video_nr in enumerate(videos):
+            vid_idx, frames, wav, ts, dsec = worker.result()
+            decode_s += dsec
+            if i + 1 < len(videos):
+                worker.request(videos[i + 1])
+            ts_sweep = time.perf_counter()
+            handle = sweep.dispatch_video_device_audio(
+                frames, wav, ts, batch=bucket)
+            _fetch_prev(prev)
+            prev = (len(vid_idx), handle)
             sweep_s += time.perf_counter() - ts_sweep
+    else:
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            nxt = ex.submit(load_video, videos[0]) if videos else None
+            for i, _video_nr in enumerate(videos):
+                vid_idx, frames, wav, ts = nxt.result()
+                if i + 1 < len(videos):
+                    nxt = ex.submit(load_video, videos[i + 1])
+                ts_sweep = time.perf_counter()
+                handle = sweep.dispatch_video_device_audio(
+                    frames, wav, ts, batch=bucket)
+                _fetch_prev(prev)
+                prev = (len(vid_idx), handle)
+                sweep_s += time.perf_counter() - ts_sweep
+    if prev is not None:
+        ts_sweep = time.perf_counter()
+        _fetch_prev(prev)
+        sweep_s += time.perf_counter() - ts_sweep
     dt = time.perf_counter() - t0
+    # the worker is returned (not closed) so steady-state passes can reuse
+    # it alongside the sweep executor; callers that don't reuse it should
+    # call .close() — it's a daemon process either way, so it can't outlive
+    # the interpreter.
     return {"clips": n_done, "seconds": dt, "decode_seconds": decode_s,
             "sweep_seconds": sweep_s, "sweep": sweep,
+            "decode_worker": worker,
             "clips_per_sec": n_done / dt if dt > 0 else 0.0}

@@ -389,7 +389,12 @@ class AvformerSweep(SweepBase):
         l_pad = -(-max(wav.shape[0], 1) // bucket_samples) * bucket_samples
         wav_ext = np.zeros(l_pad + 2 * slen, np.float32)
         wav_ext[slen:slen + wav.shape[0]] = wav
-        wav_dev = _jax.device_put(wav_ext)
+        if self.mesh is None:
+            wav_dev = _jax.device_put(wav_ext)
+        else:
+            # whole-video waveform replicates; bucket payloads shard below
+            from .core.mesh import replicated_sharding
+            wav_dev = _jax.device_put(wav_ext, replicated_sharding(self.mesh))
         starts, n_valid = self.audio_window_plan(timestamps_ms, wav.shape[0])
 
         # dispatch every bucket asynchronously and fetch ONE concatenated
@@ -400,6 +405,8 @@ class AvformerSweep(SweepBase):
         for s, cur, frames_chunk, rows in self._buckets(n, frames_u8, batch):
             st = self._pad_rows(starts[s:s + cur], batch)
             nv = self._pad_rows(n_valid[s:s + cur], batch)
+            frames_chunk, st, nv, rows = self._shard_data(
+                frames_chunk, st, nv, rows)
             fut = self.fused_sweep_device_audio(
                 frames_chunk, wav_dev, st, nv, rows)
             pending.append((s, cur, fut))
@@ -541,8 +548,9 @@ def make_sweep(cfg: Config, variables, mesh=None) -> SweepBase:
     ``mesh``: optional ``jax.sharding.Mesh`` — weights replicate and each
     bucket's payload shards over the 'data' axis (one GSPMD program;
     sharded == single-device tested on a virtual 8-device mesh). Covers
-    ``sweep_video``; the opt-in audio variants accept the mesh but run
-    their audio plumbing replicated."""
+    ``sweep_video`` and the device-audio serving path (whole-video wav
+    replicated, per-bucket windows sharded); the opt-in shared-spectrogram
+    variant accepts the mesh but runs its audio plumbing replicated."""
     if cfg.model_name == "avformer":
         return AvformerSweep(cfg, variables, mesh=mesh)
     if cfg.model_name == "vformer":

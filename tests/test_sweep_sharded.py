@@ -53,3 +53,23 @@ def test_vformer_sweep_sharded_matches_single_device():
     got = make_sweep(cfg, variables, mesh=mesh).sweep_video(frames, batch=6)
     assert got.shape == (n, 21)
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_device_audio_sweep_sharded_matches_single_device():
+    """The production serving path (whole-video wav on device, per-window
+    mel in the fused program) sharded over the mesh == single-device."""
+    cfg = _cfg("avformer", "A;V")
+    model, variables = init_model(cfg)
+
+    rs = np.random.RandomState(2)
+    n = 13
+    frames = rs.randint(0, 256, (n, 32, 32, 3)).astype(np.uint8)
+    wav = (rs.randn(2 * 44100) * 0.1).astype(np.float32)
+    ts = (np.arange(n) * 1000.0 / 30.0)
+
+    ref = make_sweep(cfg, variables).sweep_video_device_audio(
+        frames, wav, ts, batch=8)
+    mesh = make_mesh("data:-1")
+    got = make_sweep(cfg, variables, mesh=mesh).sweep_video_device_audio(
+        frames, wav, ts, batch=8)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
