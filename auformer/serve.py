@@ -80,8 +80,21 @@ def _decode_worker_main(conn, cfg: Config) -> None:
     2026-08-17). A child process owns its GIL and gets its own scheduler
     share, so decode throughput is independent of the parent's fetch state
     — the same isolation torch's DataLoader workers give the reference
-    pipeline (SURVEY.md L1)."""
+    pipeline (SURVEY.md L1).
+
+    On a 1-CPU host the parent's spin-waiting fetch still time-slices
+    50/50 against this process, inflating decode wall time ~4.5x over the
+    raw decoder rate (measured 2026-08-17: 14.6 s in-pipeline vs 3.2 s
+    standalone for 5,120 frames). Decode is the pipeline's critical path
+    while the fetch spin does no useful work, so the worker raises its
+    scheduler priority when it can (root / CAP_SYS_NICE); the parent's
+    dispatch thread only needs the CPU in short bursts between fetches."""
     import time as _time
+
+    try:
+        os.setpriority(os.PRIO_PROCESS, 0, -10)
+    except (OSError, AttributeError):
+        pass  # unprivileged: keep default priority
 
     from .data.testset import Aff2TestDataset, strip_position
     from .ops import audio_host
@@ -270,8 +283,8 @@ def sweep_serve_benchmark(cfg: Config, variables, dataset=None,
     # (child imports + dataset ctor) happens BEFORE the clock — one-time
     # setup like XLA compile, not decode work; video decode itself is
     # always billed inside the clock via the reported per-video seconds.
-    worker = decode_worker
-    if worker is None and videos:
+    worker = decode_worker or None  # False = forced thread fallback
+    if worker is None and decode_worker is not False and videos:
         try:
             worker = DecodeWorker(cfg)
         except Exception:
@@ -280,14 +293,32 @@ def sweep_serve_benchmark(cfg: Config, variables, dataset=None,
     sweep_s = 0.0
     t0 = time.perf_counter()
 
-    def _fetch_prev(prev):
-        nonlocal n_done
-        if prev is not None:
-            pc, ph = prev
-            sweep.fetch_video_device_audio(ph)
-            n_done += pc
+    # Fetches are DEFERRED and GROUPED: the tunnel charges 1-11 s per D2H
+    # fetch regardless of size, so one concatenated fetch per group of
+    # videos beats one per video (measured: per-video fetches were the
+    # steady-state bound once decode was fixed, 2026-08-17). The group is
+    # capped by in-flight clips — every queued bucket pins its uint8 frame
+    # upload until it executes (~37 KB/clip; 16384 clips ≈ 0.6 GB HBM).
+    max_pending = 16384
+    pending_handles: list[tuple[int, object]] = []
+    pending_clips = 0
 
-    prev = None  # (clip_count, dispatch handle)
+    def _enqueue(clip_count, handle):
+        nonlocal pending_clips
+        pending_handles.append((clip_count, handle))
+        pending_clips += clip_count
+
+    def _drain():
+        nonlocal n_done, pending_clips, sweep_s
+        if not pending_handles:
+            return
+        td = time.perf_counter()
+        sweep.fetch_many_device_audio([h for _, h in pending_handles])
+        n_done += sum(c for c, _ in pending_handles)
+        pending_handles.clear()
+        pending_clips = 0
+        sweep_s += time.perf_counter() - td
+
     if worker is not None and videos:
         worker.request(videos[0])
         for i, _video_nr in enumerate(videos):
@@ -298,9 +329,10 @@ def sweep_serve_benchmark(cfg: Config, variables, dataset=None,
             ts_sweep = time.perf_counter()
             handle = sweep.dispatch_video_device_audio(
                 frames, wav, ts, batch=bucket)
-            _fetch_prev(prev)
-            prev = (len(vid_idx), handle)
             sweep_s += time.perf_counter() - ts_sweep
+            _enqueue(len(vid_idx), handle)
+            if pending_clips >= max_pending:
+                _drain()
     else:
         with ThreadPoolExecutor(max_workers=1) as ex:
             nxt = ex.submit(load_video, videos[0]) if videos else None
@@ -311,13 +343,11 @@ def sweep_serve_benchmark(cfg: Config, variables, dataset=None,
                 ts_sweep = time.perf_counter()
                 handle = sweep.dispatch_video_device_audio(
                     frames, wav, ts, batch=bucket)
-                _fetch_prev(prev)
-                prev = (len(vid_idx), handle)
                 sweep_s += time.perf_counter() - ts_sweep
-    if prev is not None:
-        ts_sweep = time.perf_counter()
-        _fetch_prev(prev)
-        sweep_s += time.perf_counter() - ts_sweep
+                _enqueue(len(vid_idx), handle)
+                if pending_clips >= max_pending:
+                    _drain()
+    _drain()
     dt = time.perf_counter() - t0
     # the worker is returned (not closed) so steady-state passes can reuse
     # it alongside the sweep executor; callers that don't reuse it should

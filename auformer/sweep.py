@@ -415,15 +415,27 @@ class AvformerSweep(SweepBase):
     @staticmethod
     def fetch_video_device_audio(handle) -> np.ndarray:
         """Block on a :meth:`dispatch_video_device_audio` handle -> (N,12)."""
-        n, pending = handle
-        out = np.zeros((n, 12), np.float32)
-        if pending:
-            cat = np.asarray(jnp.concatenate([f for _, _, f in pending]))
-            o = 0
+        return AvformerSweep.fetch_many_device_audio([handle])[0]
+
+    @staticmethod
+    def fetch_many_device_audio(handles) -> "list[np.ndarray]":
+        """Block on several dispatch handles with ONE concatenated D2H
+        fetch. The attached chip's RPC tunnel charges 1-11 s per
+        device->host fetch regardless of size (round-3 e2e logs), so a
+        serving loop that defers and groups per-video fetches pays that
+        cost once per group instead of once per video."""
+        futs = [f for _, pending in handles for _, _, f in pending]
+        cat = np.asarray(jnp.concatenate(futs)) if futs else \
+            np.zeros((0, 12), np.float32)
+        outs = []
+        o = 0
+        for n, pending in handles:
+            out = np.zeros((n, 12), np.float32)
             for ps, pcur, f in pending:
                 out[ps:ps + pcur] = cat[o:o + pcur]
                 o += f.shape[0]
-        return out
+            outs.append(out)
+        return outs
 
     def sweep_video_device_audio(self, frames_u8: np.ndarray,
                                  wav: np.ndarray,
