@@ -154,6 +154,14 @@ def run_inference_sweep(cfg: Config, variables,
     runs data-parallel: weights replicate over ``cfg.mesh_shape`` and each
     bucket's frames shard over the 'data' axis (parity tested on a virtual
     8-device mesh, tests/test_sweep_sharded.py).
+
+    Audio features run on DEVICE by default (one wav upload per video,
+    per-window gather + mel fused with the sweep —
+    sweep.fused_sweep_device_audio; parity-tested against the feature-fed
+    sweep). ``--strict_parity`` keeps the reference-exact host audio path
+    (per-window ``dataset.get_audio_feature``), which recomputes a full
+    host STFT per clip — the left-zero-pad junction of short windows at
+    video edges differs immaterially between the two (ops/audio.py).
     """
     from .sweep import make_sweep
 
@@ -168,31 +176,45 @@ def run_inference_sweep(cfg: Config, variables,
     output = np.zeros((len(dataset), 21), np.float32)
     au_writer = SubmissionWriter(result_path, "AU")
 
-    for video_nr in np.unique(dataset.video_db_nr[test_idx]):
-        vid_idx = test_idx[dataset.video_db_nr[test_idx] == video_nr]
-        video_id = os.path.dirname(dataset.image_path[vid_idx[0]])
-        keys = [dataset._store_key(dataset.image_path[i]) for i in vid_idx]
-        n = len(keys)
-        frames = np.zeros((n, h, w, 3), np.uint8)
-        if dataset.native_image is not None:
-            decoded, ok = dataset.native_image.decode_batch(keys, h, w, 3)
-            frames[ok] = decoded[ok]
-        else:
-            for j, k in enumerate(keys):
-                img = dataset._get_image_by_key(k)
-                if img is not None and img.shape[:2] == (h, w):
-                    frames[j] = img
-        if sweep.needs_audio:
+    if cfg.strict_parity and sweep.needs_audio:
+        # reference-exact host audio: per-window host mel features
+        for video_nr in np.unique(dataset.video_db_nr[test_idx]):
+            vid_idx = test_idx[dataset.video_db_nr[test_idx] == video_nr]
+            video_id = os.path.dirname(dataset.image_path[vid_idx[0]])
+            keys = [dataset._store_key(dataset.image_path[i])
+                    for i in vid_idx]
+            n = len(keys)
+            frames = np.zeros((n, h, w, 3), np.uint8)
+            if dataset.native_image is not None:
+                decoded, ok = dataset.native_image.decode_batch(keys, h, w, 3)
+                frames[ok] = decoded[ok]
+            else:
+                for j, k in enumerate(keys):
+                    img = dataset._get_image_by_key(k)
+                    if img is not None and img.shape[:2] == (h, w):
+                        frames[j] = img
             feats = np.stack([
                 dataset.get_audio_feature(video_id, int(i))[0]
                 for i in vid_idx]).astype(np.float32)
             logits = sweep.sweep_video(frames, feats, batch=bucket)
-        else:
-            logits = sweep.sweep_video(frames, batch=bucket)
-        output[vid_idx, :logits.shape[1]] = logits
-        pred = np.round(1.0 / (1.0 + np.exp(-logits[:, :12]))).astype(int)
-        for row in pred:
-            au_writer.write(video_id, au_to_str(row))
+            output[vid_idx, :logits.shape[1]] = logits
+            pred = np.round(
+                1.0 / (1.0 + np.exp(-logits[:, :12]))).astype(int)
+            for row in pred:
+                au_writer.write(video_id, au_to_str(row))
+    else:
+        from .serve import sweep_stream
+        # the process-isolated decode worker pays ~10-30 s startup (child
+        # imports + dataset ctor); only worth it past a few thousand clips
+        use_worker = None if int(dataset.test_ids.sum()) >= 2000 else False
+        for vid_idx, video_id, logits in sweep_stream(
+                cfg, variables, dataset=dataset, bucket=bucket,
+                sweep=sweep, decode_worker=use_worker):
+            output[vid_idx, :logits.shape[1]] = logits
+            pred = np.round(
+                1.0 / (1.0 + np.exp(-logits[:, :12]))).astype(int)
+            for row in pred:
+                au_writer.write(video_id, au_to_str(row))
     au_writer.close()
 
     os.makedirs(result_path, exist_ok=True)

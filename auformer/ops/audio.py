@@ -247,14 +247,16 @@ def normalize_spec(x: jax.Array,
 
 @functools.partial(jax.jit,
                    static_argnames=("n_mels", "out_frames", "mel_bf16",
-                                    "precision", "use_pallas"))
+                                    "precision", "use_pallas",
+                                    "left_aligned"))
 def audio_frontend(audio: jax.Array,
                    feature_len: jax.Array | None = None,
                    n_mels: int = N_MELS,
                    out_frames: int = 1001,
                    mel_bf16: bool = False,
                    precision: str | None = None,
-                   use_pallas: bool = False) -> jax.Array:
+                   use_pallas: bool = False,
+                   left_aligned: bool = False) -> jax.Array:
     """Full fused frontend: (B, L) raw audio -> (B, 1, n_mels, out_frames).
 
     ``feature_len`` (B,) int32 — number of *valid* mel frames per sample
@@ -263,6 +265,14 @@ def audio_frontend(audio: jax.Array,
     reference's left-pad-then-AmpToDB behavior: padded columns sit at the
     -80 dB-from-max floor, i.e. exactly what AmpToDB does to zeros
     (aff2compdataset.py:234-241).
+
+    ``left_aligned=True``: the valid samples start at buffer position 0
+    (so the STFT grid and the start reflect-pad anchor at the true signal
+    start, exactly like the reference's mel over a short window) and the
+    valid mel frames are therefore the FIRST ``feature_len``; they are
+    moved to the right edge of ``out_frames`` (a per-sample column gather)
+    before masking + dB, matching the reference's left-pad-features
+    layout. Used by the device-audio sweep (sweep.py).
 
     ``use_pallas``: route to the fully-fused Pallas kernel
     (ops/audio_pallas.py) when the backend is TPU, the shape is the fixed
@@ -273,7 +283,7 @@ def audio_frontend(audio: jax.Array,
     measured at parity with this XLA path on v5e (17.8 vs 17.1 ms per
     512-clip bucket, 2026-08-17) — see ops/audio_pallas.py docstring.
     """
-    if (use_pallas and precision is None
+    if (use_pallas and precision is None and not left_aligned
             and audio.ndim == 2 and audio.shape[-1] == 441000
             and out_frames == 1001
             and jax.default_backend() == "tpu"):
@@ -290,14 +300,24 @@ def audio_frontend(audio: jax.Array,
                           precision=precision)              # (B, n_mels, T)
     t = mel.shape[-1]
     if t > out_frames:
-        mel = mel[..., -out_frames:]
+        # left_aligned: valid frames sit at the START of the grid
+        mel = mel[..., :out_frames] if left_aligned else mel[..., -out_frames:]
         t = out_frames
     if t < out_frames:
-        mel = jnp.pad(mel, ((0, 0), (0, 0), (out_frames - t, 0)))
+        pad = (0, out_frames - t) if left_aligned else (out_frames - t, 0)
+        mel = jnp.pad(mel, ((0, 0), (0, 0), pad))
     if feature_len is not None:
         cols = jnp.arange(out_frames)[None, None, :]
-        valid = cols >= (out_frames - feature_len[:, None, None])
-        mel = jnp.where(valid, mel, 0.0)
+        if left_aligned:
+            # move the first feature_len frames to the right edge
+            src = cols - (out_frames - feature_len[:, None, None])
+            gathered = jnp.take_along_axis(
+                mel, jnp.broadcast_to(jnp.clip(src, 0, out_frames - 1),
+                                      mel.shape), axis=-1)
+            mel = jnp.where(src >= 0, gathered, 0.0)
+        else:
+            valid = cols >= (out_frames - feature_len[:, None, None])
+            mel = jnp.where(valid, mel, 0.0)
     db = amplitude_to_db(mel)
     out = normalize_spec(db)
     return out[:, None, :, :]

@@ -179,48 +179,66 @@ class DecodeWorker:
         self._conn.close()
 
 
-def sweep_serve_benchmark(cfg: Config, variables, dataset=None,
-                          bucket: int = 512,
-                          max_clips: int | None = None,
-                          warmup: bool = True, sweep=None,
-                          decode_worker=None) -> dict:
-    """End-to-end decode->FUSED A/V inference clips/s via the dense sweep
-    (BASELINE.md throughput row: includes host store reads + JPEG decode +
-    wav read; the trunk runs once per frame and the per-window audio mel
-    runs on device from one wav upload per video — auformer/sweep.py).
-    avformer / 'A;V' only; returns clip counts + rate.
+def sweep_stream(cfg: Config, variables, dataset=None, bucket: int = 512,
+                 max_clips: int | None = None, sweep=None,
+                 decode_worker=None, mesh=None,
+                 fetch_group_clips: int = 16384,
+                 stats: dict | None = None
+                 ) -> Iterator[tuple[np.ndarray, str, np.ndarray]]:
+    """Dense-sweep serving pipeline over the test split: yields
+    ``(vid_idx, video_id, (N, out_dim) logits)`` per video, in video order.
 
-    ``warmup=True`` compiles the fused sweep program on dummy zeros BEFORE
-    the clock starts — consistent with the other bench sections, which all
-    time steady state; XLA compilation (~2-3 min via the tunnel) is a
-    one-time cost a production sweep amortizes over ~700k frames. The next
-    video's JPEG decode runs on a thread while the device sweeps the
-    current one (the native decoder drops the GIL).
-    """
-    import wave as _wave
+    The production counterpart of the reference's batch-1 submission loop
+    (test_aff2.py:93-117, "5+ hours"): per video, every test frame is
+    decoded once (process-isolated DecodeWorker with a thread fallback —
+    see _decode_worker_main), the trunk runs once per frame, and windows
+    are feature gathers on device (auformer/sweep.py). Audio-bearing
+    sweeps ship one wav per video and run the per-window mel fused on
+    device. Works for any ``make_sweep`` model (avformer, vformer).
+
+    Tunnel-shaped behavior: video *i+1* decodes while the device sweeps
+    video *i*; result fetches are DEFERRED and GROUPED — one concatenated
+    D2H per ``fetch_group_clips`` in-flight clips (each queued bucket pins
+    its uint8 frame upload until it executes, ~37 KB/clip at 112px; 16384
+    clips ≈ 0.6 GB HBM), because the tunnel charges 1-11 s per fetch
+    regardless of size. Grouping makes yields arrive in bursts.
+
+    ``stats`` (optional dict) accumulates ``decode_seconds`` /
+    ``sweep_seconds`` / ``clips`` in place and exposes the ``sweep`` and
+    ``decode_worker`` instances for reuse across passes (a fresh executor
+    re-pays ~20 s of serialized-executable load per process even on a
+    compile-cache hit). ``decode_worker=False`` forces the thread
+    fallback. ``max_clips`` cuts the video list upfront (whole videos
+    until the cumulative clip count reaches the cap) so the pipeline
+    never decodes a video the cut would discard."""
     from concurrent.futures import ThreadPoolExecutor
 
     from .data.testset import Aff2TestDataset, strip_position
     from .ops import audio_host
-    from .sweep import AvformerSweep
+    from .sweep import make_sweep
 
     dataset = dataset or Aff2TestDataset(cfg)
-    # Reuse a caller-held sweep for steady-state passes: a fresh
-    # AvformerSweep re-jits, and even a persistent-compile-cache HIT costs
-    # ~20 s of executable load through the axon tunnel (measured 2026-08-17;
-    # a miss costs ~200 s) — rebuilding per pass turned a 830 clips/s steady
-    # state into 169 clips/s in BENCH runs. The returned dict carries the
-    # instance under "sweep" so callers can thread it through.
-    sweep = sweep or AvformerSweep(cfg, variables)
+    sweep = sweep or make_sweep(cfg, variables, mesh=mesh)
     h = w = cfg.image_size
     test_idx = np.nonzero(dataset.test_ids)[0]
     audio_dir = getattr(dataset, "audio_dir", cfg.root)
     videos = list(np.unique(dataset.video_db_nr[test_idx]))
+    counts = [int(np.sum(dataset.video_db_nr[test_idx] == v))
+              for v in videos]
+    if max_clips is not None:
+        k, acc = 0, 0
+        while k < len(videos) and acc < max_clips:
+            acc += counts[k]
+            k += 1
+        videos, counts = videos[:k], counts[:k]
 
-    decode_s = 0.0
+    st = stats if stats is not None else {}
+    st.setdefault("decode_seconds", 0.0)
+    st.setdefault("sweep_seconds", 0.0)
+    st.setdefault("clips", 0)
+    st["sweep"] = sweep
 
     def load_video(video_nr):
-        nonlocal decode_s
         vid_idx = test_idx[dataset.video_db_nr[test_idx] == video_nr]
         video_id = os.path.dirname(dataset.image_path[vid_idx[0]])
         keys = [dataset._store_key(dataset.image_path[i]) for i in vid_idx]
@@ -241,11 +259,98 @@ def sweep_serve_benchmark(cfg: Config, variables, dataset=None,
             wav = wav[0]
         except (OSError, EOFError, ValueError):
             wav = np.zeros(1, np.float32)
-        decode_s += time.perf_counter() - td
+        st["decode_seconds"] += time.perf_counter() - td
         ts = np.asarray(dataset.time_stamps)[vid_idx]
         return vid_idx, frames, wav, ts
 
-    if warmup and videos:
+    worker = decode_worker or None  # False = forced thread fallback
+    if worker is None and decode_worker is not False and videos:
+        try:
+            worker = DecodeWorker(cfg)
+        except Exception:
+            worker = None
+    st["decode_worker"] = worker
+
+    pending: list[tuple[np.ndarray, str, object]] = []
+    pending_clips = 0
+
+    def _drain():
+        nonlocal pending_clips
+        if not pending:
+            return []
+        td = time.perf_counter()
+        outs = sweep.fetch_many([(len(vi), h_) for vi, _, h_ in pending])
+        st["clips"] += sum(len(vi) for vi, _, _ in pending)
+        st["sweep_seconds"] += time.perf_counter() - td
+        done = [(vi, vid, o) for (vi, vid, _), o in zip(pending, outs)]
+        pending.clear()
+        pending_clips = 0
+        return done
+
+    def _dispatch(vid_idx, frames, wav, ts):
+        nonlocal pending_clips
+        video_id = os.path.dirname(dataset.image_path[vid_idx[0]])
+        td = time.perf_counter()
+        handle = sweep.dispatch_video(frames, wav=wav, timestamps_ms=ts,
+                                      batch=bucket)
+        st["sweep_seconds"] += time.perf_counter() - td
+        # handle = (n_padded, buckets); keep the true vid_idx for demux
+        pending.append((vid_idx, video_id, handle[1]))
+        pending_clips += len(vid_idx)
+
+    if worker is not None and videos:
+        worker.request(videos[0])
+        for i, _video_nr in enumerate(videos):
+            vid_idx, frames, wav, ts, dsec = worker.result()
+            st["decode_seconds"] += dsec
+            if i + 1 < len(videos):
+                worker.request(videos[i + 1])
+            _dispatch(vid_idx, frames, wav, ts)
+            if pending_clips >= fetch_group_clips:
+                yield from _drain()
+    elif videos:
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            nxt = ex.submit(load_video, videos[0])
+            for i, _video_nr in enumerate(videos):
+                vid_idx, frames, wav, ts = nxt.result()
+                if i + 1 < len(videos):
+                    nxt = ex.submit(load_video, videos[i + 1])
+                _dispatch(vid_idx, frames, wav, ts)
+                if pending_clips >= fetch_group_clips:
+                    yield from _drain()
+    yield from _drain()
+
+
+def sweep_serve_benchmark(cfg: Config, variables, dataset=None,
+                          bucket: int = 512,
+                          max_clips: int | None = None,
+                          warmup: bool = True, sweep=None,
+                          decode_worker=None) -> dict:
+    """End-to-end decode->FUSED inference clips/s via :func:`sweep_stream`
+    (BASELINE.md throughput row: includes host store reads + JPEG decode +
+    wav read). Returns clip counts + rate, plus the ``sweep`` executor and
+    ``decode_worker`` for reuse across steady-state passes (callers that
+    don't reuse the worker should ``.close()`` it — a daemon process
+    either way, so it can't outlive the interpreter).
+
+    ``warmup=True`` compiles the fused sweep program on dummy zeros BEFORE
+    the clock starts — consistent with the other bench sections, which all
+    time steady state; XLA compilation (~2-3 min via the tunnel) is a
+    one-time cost a production sweep amortizes over ~700k frames.
+    """
+    import wave as _wave
+
+    from .data.testset import Aff2TestDataset, strip_position
+    from .sweep import make_sweep
+
+    dataset = dataset or Aff2TestDataset(cfg)
+    sweep = sweep or make_sweep(cfg, variables)
+    h = w = cfg.image_size
+    test_idx = np.nonzero(dataset.test_ids)[0]
+    audio_dir = getattr(dataset, "audio_dir", cfg.root)
+    videos = list(np.unique(dataset.video_db_nr[test_idx]))
+
+    if warmup and videos and sweep.needs_audio:
         vid_idx0 = test_idx[dataset.video_db_nr[test_idx] == videos[0]]
         video_id0 = os.path.dirname(dataset.image_path[vid_idx0[0]])
         try:
@@ -258,102 +363,29 @@ def sweep_serve_benchmark(cfg: Config, variables, dataset=None,
             np.zeros((bucket, h, w, 3), np.uint8),
             np.zeros(wav_len, np.float32),
             np.zeros(bucket), batch=bucket)
+    elif warmup and videos:
+        sweep.sweep_video(np.zeros((bucket, h, w, 3), np.uint8),
+                          batch=bucket)
 
-    # clips per video, known upfront: don't prefetch a video the max_clips
-    # cut will discard — the executor shutdown would join its decode and
-    # bill dead time to the benchmark (1-CPU box: ~9 s for a 5120-frame
-    # video contending with the sweep dispatch thread)
-    # the max_clips cut is decided upfront (same semantics as a
-    # stop-when-reached loop: process whole videos until the cumulative
-    # clip count reaches the cap) so the pipeline below never prefetches
-    # or decodes a video the cut would discard
-    counts = [int(np.sum(dataset.video_db_nr[test_idx] == v))
-              for v in videos]
-    if max_clips is not None:
-        k, acc = 0, 0
-        while k < len(videos) and acc < max_clips:
-            acc += counts[k]
-            k += 1
-        videos, counts = videos[:k], counts[:k]
-    # 3-stage software pipeline: while the device sweeps video i, the host
-    # decodes video i+1 in the worker PROCESS and then blocks on video
-    # i-1's result — one D2H fetch per video. Thread fallback when the
-    # worker can't start (decode then contends with the parent's
-    # spin-waiting fetches; see _decode_worker_main). Worker startup
-    # (child imports + dataset ctor) happens BEFORE the clock — one-time
-    # setup like XLA compile, not decode work; video decode itself is
-    # always billed inside the clock via the reported per-video seconds.
-    worker = decode_worker or None  # False = forced thread fallback
-    if worker is None and decode_worker is not False and videos:
+    # worker startup (child imports + dataset ctor, ~10-30 s on the 1-CPU
+    # box) happens BEFORE the clock — one-time setup like XLA compile, not
+    # decode work; per-video decode is always billed inside the clock
+    if decode_worker is None and videos:
         try:
-            worker = DecodeWorker(cfg)
+            decode_worker = DecodeWorker(cfg)
         except Exception:
-            worker = None
-    n_done = 0
-    sweep_s = 0.0
+            decode_worker = False  # don't retry inside the clock
+
+    stats: dict = {}
     t0 = time.perf_counter()
-
-    # Fetches are DEFERRED and GROUPED: the tunnel charges 1-11 s per D2H
-    # fetch regardless of size, so one concatenated fetch per group of
-    # videos beats one per video (measured: per-video fetches were the
-    # steady-state bound once decode was fixed, 2026-08-17). The group is
-    # capped by in-flight clips — every queued bucket pins its uint8 frame
-    # upload until it executes (~37 KB/clip; 16384 clips ≈ 0.6 GB HBM).
-    max_pending = 16384
-    pending_handles: list[tuple[int, object]] = []
-    pending_clips = 0
-
-    def _enqueue(clip_count, handle):
-        nonlocal pending_clips
-        pending_handles.append((clip_count, handle))
-        pending_clips += clip_count
-
-    def _drain():
-        nonlocal n_done, pending_clips, sweep_s
-        if not pending_handles:
-            return
-        td = time.perf_counter()
-        sweep.fetch_many_device_audio([h for _, h in pending_handles])
-        n_done += sum(c for c, _ in pending_handles)
-        pending_handles.clear()
-        pending_clips = 0
-        sweep_s += time.perf_counter() - td
-
-    if worker is not None and videos:
-        worker.request(videos[0])
-        for i, _video_nr in enumerate(videos):
-            vid_idx, frames, wav, ts, dsec = worker.result()
-            decode_s += dsec
-            if i + 1 < len(videos):
-                worker.request(videos[i + 1])
-            ts_sweep = time.perf_counter()
-            handle = sweep.dispatch_video_device_audio(
-                frames, wav, ts, batch=bucket)
-            sweep_s += time.perf_counter() - ts_sweep
-            _enqueue(len(vid_idx), handle)
-            if pending_clips >= max_pending:
-                _drain()
-    else:
-        with ThreadPoolExecutor(max_workers=1) as ex:
-            nxt = ex.submit(load_video, videos[0]) if videos else None
-            for i, _video_nr in enumerate(videos):
-                vid_idx, frames, wav, ts = nxt.result()
-                if i + 1 < len(videos):
-                    nxt = ex.submit(load_video, videos[i + 1])
-                ts_sweep = time.perf_counter()
-                handle = sweep.dispatch_video_device_audio(
-                    frames, wav, ts, batch=bucket)
-                sweep_s += time.perf_counter() - ts_sweep
-                _enqueue(len(vid_idx), handle)
-                if pending_clips >= max_pending:
-                    _drain()
-    _drain()
+    for _vid_idx, _video_id, _logits in sweep_stream(
+            cfg, variables, dataset=dataset, bucket=bucket,
+            max_clips=max_clips, sweep=sweep, decode_worker=decode_worker,
+            stats=stats):
+        pass
     dt = time.perf_counter() - t0
-    # the worker is returned (not closed) so steady-state passes can reuse
-    # it alongside the sweep executor; callers that don't reuse it should
-    # call .close() — it's a daemon process either way, so it can't outlive
-    # the interpreter.
-    return {"clips": n_done, "seconds": dt, "decode_seconds": decode_s,
-            "sweep_seconds": sweep_s, "sweep": sweep,
-            "decode_worker": worker,
-            "clips_per_sec": n_done / dt if dt > 0 else 0.0}
+    return {"clips": stats["clips"], "seconds": dt,
+            "decode_seconds": stats["decode_seconds"],
+            "sweep_seconds": stats["sweep_seconds"], "sweep": sweep,
+            "decode_worker": stats.get("decode_worker"),
+            "clips_per_sec": stats["clips"] / dt if dt > 0 else 0.0}

@@ -44,6 +44,27 @@ def _sub(variables, *path):
     return {"params": p, "batch_stats": s}
 
 
+def _fetch_concat(handles, out_dim: int) -> "list[np.ndarray]":
+    """Block on several dispatch handles with ONE concatenated D2H fetch.
+
+    The attached chip's RPC tunnel charges 1-11 s per device->host fetch
+    regardless of size (round-3 e2e logs), so a serving loop that defers
+    and groups per-video fetches pays that cost once per group instead of
+    once per video."""
+    futs = [f for _, pending in handles for _, _, f in pending]
+    cat = np.asarray(jnp.concatenate(futs)) if futs else \
+        np.zeros((0, out_dim), np.float32)
+    outs = []
+    o = 0
+    for n, pending in handles:
+        out = np.zeros((n, out_dim), np.float32)
+        for ps, pcur, f in pending:
+            out[ps:ps + pcur] = cat[o:o + pcur]
+            o += f.shape[0]
+        outs.append(out)
+    return outs
+
+
 class SweepBase:
     """Shared window/bucket machinery for frame-feature-cached sweeps.
 
@@ -153,6 +174,19 @@ class SweepBase:
             reps = np.repeat(arr[-1:], batch - arr.shape[0], axis=0)
             arr = np.concatenate([arr, reps])
         return arr
+
+    # -- uniform serving surface (serve.py::sweep_stream) -------------------
+    def dispatch_video(self, frames_u8: np.ndarray, wav=None,
+                       timestamps_ms=None, batch: int = 512):
+        """Dispatch one video's dense sweep asynchronously; returns an
+        opaque handle for :meth:`fetch_many`. ``wav``/``timestamps_ms``
+        are consumed by audio-bearing sweeps and ignored otherwise."""
+        raise NotImplementedError
+
+    def fetch_many(self, handles) -> "list[np.ndarray]":
+        """Block on several :meth:`dispatch_video` handles with ONE
+        concatenated D2H fetch -> [(N_i, out_dim)]."""
+        return _fetch_concat(handles, self.out_dim)
 
 
 class AvformerSweep(SweepBase):
@@ -265,30 +299,53 @@ class AvformerSweep(SweepBase):
             """Sweep with per-video DEVICE-RESIDENT audio: each window is
             gathered from the whole-video waveform on device and the mel
             frontend runs fused with the sweep, so the host ships one wav
-            per video instead of 441000 floats per clip. EXACT for full
-            10 s windows; short windows (video edges) reproduce the
-            left-zero-pad semantics of ops.audio.audio_frontend (the
-            reflect-pad junction caveat documented there).
+            per video instead of 441000 floats per clip.
 
-            wav_ext: (L + 2*441000,) f32 = [zeros | wav | zeros].
-            starts:  (N,) int32 window starts in padded coords
-                     (= offset + n_valid; see sweep_video_device_audio).
-            n_valid: (N,) int32 true sample count of each window.
+            Windows are assembled LEFT-ALIGNED (valid samples at buffer
+            position 0) so the STFT grid and the start reflect-pad anchor
+            at the true signal start — exactly the grid the reference's
+            mel-over-a-short-window uses (aff2compdataset.py:228-238 via
+            audio_host.reference_audio_features); the end reflect-pad of a
+            short window is emulated by writing reverse(signal tail) after
+            the last valid sample. EXACT vs per-window host features for
+            all window lengths >= 513 samples (tested); sub-513-sample
+            windows (< 12 ms of audio, where torchaudio's own reflect pad
+            would raise) stay zero after the signal.
+
+            wav_ext: (L + 2*441000 + 512,) f32 = [zeros(441000) | wav |
+                     zeros]; starts: (N,) int32 = 441000 + clamped window
+                     offset (see audio_window_plan); n_valid: (N,) int32
+                     true sample count of each window.
             """
             from .ops.audio import audio_frontend
             slen = self.cfg.sample_len_frames
-            # contiguous dynamic_slice per window via lax.map — a fancy-index
-            # gather of (N, 441000) runs at element granularity on TPU and
-            # measured 40x slower (2.0s vs 0.05s per 512-window bucket)
-            win = jax.lax.map(
-                lambda s: jax.lax.dynamic_slice(wav_ext, (s,), (slen,)),
-                starts, batch_size=64)                      # (N, 441000)
-            k = jnp.arange(slen, dtype=jnp.int32)
-            win = jnp.where(k[None, :] >= slen - n_valid[:, None], win, 0.0)
+
+            # contiguous dynamic_slice per window via lax.map — a fancy-
+            # index gather of (N, 441000) runs at element granularity on
+            # TPU and measured 40x slower (2.0s vs 0.05s per 512-window
+            # bucket). The slice is 512 samples longer than the window so
+            # the reflect patch of a nearly-full window never clamps.
+            ext = slen + 512
+
+            def _window(args):
+                s, nv = args
+                w = jax.lax.dynamic_slice(wav_ext, (s,), (ext,))
+                w = jnp.where(jnp.arange(ext, dtype=jnp.int32) < nv, w, 0.0)
+                # torchaudio center-pad reflects the signal end: position
+                # nv+j takes sample nv-2-j (no edge repeat)
+                r = jax.lax.dynamic_slice(
+                    w, (jnp.maximum(nv - 513, 0),), (513,))[::-1]
+                patched = jax.lax.dynamic_update_slice(w, r[1:513], (nv,))
+                w = jnp.where(nv >= 513, patched, w)
+                return w[:slen]
+
+            win = jax.lax.map(_window, (starts, n_valid),
+                              batch_size=64)                # (N, 441000)
             feats = audio_frontend(win, feature_len=1 + n_valid // 441,
                                    n_mels=self.cfg.n_mels,
                                    out_frames=self.cfg.mel_frames,
-                                   mel_bf16=self.cfg.mel_bf16)
+                                   mel_bf16=self.cfg.mel_bf16,
+                                   left_aligned=True)
             return _fused_sweep(v, frames_u8, feats, idx)
 
         self.fused_sweep_device_audio_fn = jax.jit(fused_sweep_device_audio)
@@ -352,8 +409,10 @@ class AvformerSweep(SweepBase):
         Window math mirrors the reference's torchaudio.load(offset,
         num_frames) call (aff2compdataset.py:218-226 via
         audio_host.audio_window_params), with the actual-file-length clamp
-        load_wav applies. In padded [zeros|wav|zeros] coordinates a window
-        whose valid samples are right-aligned starts at offset + n_valid.
+        load_wav applies. Windows are LEFT-ALIGNED: in the padded
+        [zeros(441000) | wav | zeros] device buffer a window starts at
+        441000 + clamped offset, so its first valid sample sits at buffer
+        position 0 of the slice (the STFT grid anchor).
         """
         from .ops import audio_host
         cfg = self.cfg
@@ -365,7 +424,7 @@ class AvformerSweep(SweepBase):
                 float(ts), cfg.sample_rate, cfg.sample_len_frames,
                 cfg.audio_shift_samples)
             nv = max(min(want, total_samples - min(offset, total_samples)), 0)
-            starts[i] = min(offset, total_samples) + nv
+            starts[i] = cfg.sample_len_frames + min(offset, total_samples)
             n_valid[i] = nv
         return starts, n_valid
 
@@ -384,10 +443,11 @@ class AvformerSweep(SweepBase):
         slen = cfg.sample_len_frames
         wav = np.asarray(wav, np.float32).reshape(-1)
         # round the device buffer up to whole minutes: one compiled program
-        # per minute-bucket of video length instead of one per video
+        # per minute-bucket of video length instead of one per video; +512
+        # so the extended (slen+512) window slices never clamp
         bucket_samples = 60 * cfg.sample_rate
         l_pad = -(-max(wav.shape[0], 1) // bucket_samples) * bucket_samples
-        wav_ext = np.zeros(l_pad + 2 * slen, np.float32)
+        wav_ext = np.zeros(l_pad + 2 * slen + 512, np.float32)
         wav_ext[slen:slen + wav.shape[0]] = wav
         if self.mesh is None:
             wav_dev = _jax.device_put(wav_ext)
@@ -412,30 +472,23 @@ class AvformerSweep(SweepBase):
             pending.append((s, cur, fut))
         return (n, pending)
 
+    def dispatch_video(self, frames_u8: np.ndarray, wav=None,
+                       timestamps_ms=None, batch: int = 512):
+        """Uniform serving dispatch: the device-audio sweep (one wav upload
+        per video, per-window gather + mel fused on device)."""
+        return self.dispatch_video_device_audio(
+            frames_u8, wav, timestamps_ms, batch=batch)
+
     @staticmethod
     def fetch_video_device_audio(handle) -> np.ndarray:
         """Block on a :meth:`dispatch_video_device_audio` handle -> (N,12)."""
-        return AvformerSweep.fetch_many_device_audio([handle])[0]
+        return _fetch_concat([handle], 12)[0]
 
     @staticmethod
     def fetch_many_device_audio(handles) -> "list[np.ndarray]":
-        """Block on several dispatch handles with ONE concatenated D2H
-        fetch. The attached chip's RPC tunnel charges 1-11 s per
-        device->host fetch regardless of size (round-3 e2e logs), so a
-        serving loop that defers and groups per-video fetches pays that
-        cost once per group instead of once per video."""
-        futs = [f for _, pending in handles for _, _, f in pending]
-        cat = np.asarray(jnp.concatenate(futs)) if futs else \
-            np.zeros((0, 12), np.float32)
-        outs = []
-        o = 0
-        for n, pending in handles:
-            out = np.zeros((n, 12), np.float32)
-            for ps, pcur, f in pending:
-                out[ps:ps + pcur] = cat[o:o + pcur]
-                o += f.shape[0]
-            outs.append(out)
-        return outs
+        """Back-compat alias of :meth:`fetch_many` for device-audio
+        handles (AU sweeps, out_dim 12)."""
+        return _fetch_concat(handles, 12)
 
     def sweep_video_device_audio(self, frames_u8: np.ndarray,
                                  wav: np.ndarray,
@@ -531,25 +584,26 @@ class VformerSweep(SweepBase):
             lambda frames: self.frame_features_fn(self.v, frames)
         self.fused_sweep = lambda f, i: self.fused_sweep_fn(self.v, f, i)
 
-    def sweep_video(self, frames_u8: np.ndarray,
-                    batch: int = 512) -> np.ndarray:
-        """frames_u8 (N,H,W,3) -> (N, 21) logits; async per-bucket dispatch
-        with ONE concatenated fetch (the RPC tunnel charges >1s per
-        device->host fetch regardless of size)."""
+    def dispatch_video(self, frames_u8: np.ndarray, wav=None,
+                       timestamps_ms=None, batch: int = 512):
+        """Uniform serving dispatch (visual-only: ``wav``/``timestamps_ms``
+        are accepted and ignored); async per-bucket dispatch, fetch via
+        :meth:`fetch_many`."""
         n = frames_u8.shape[0]
-        out = np.zeros((n, self.out_dim), np.float32)
         pending = []
         for s, cur, frames_chunk, rows in self._buckets(n, frames_u8, batch):
             frames_chunk, rows = self._shard_data(frames_chunk, rows)
             fut = self.fused_sweep(frames_chunk, rows)
             pending.append((s, cur, fut))
-        if pending:
-            cat = np.asarray(jnp.concatenate([f for _, _, f in pending]))
-            o = 0
-            for ps, pcur, f in pending:
-                out[ps:ps + pcur] = cat[o:o + pcur]
-                o += f.shape[0]
-        return out
+        return (n, pending)
+
+    def sweep_video(self, frames_u8: np.ndarray,
+                    batch: int = 512) -> np.ndarray:
+        """frames_u8 (N,H,W,3) -> (N, 21) logits; async per-bucket dispatch
+        with ONE concatenated fetch (the RPC tunnel charges >1s per
+        device->host fetch regardless of size)."""
+        return self.fetch_many(
+            [self.dispatch_video(frames_u8, batch=batch)])[0]
 
 
 def make_sweep(cfg: Config, variables, mesh=None) -> SweepBase:

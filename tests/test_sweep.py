@@ -186,13 +186,17 @@ def test_shared_audio_mode_close_to_exact():
                                    rtol=2e-3, atol=2e-2)
 
 
-def test_sweep_device_audio_matches_per_window_features():
-    """Device-resident audio (whole-video wav shipped once, window gather +
-    mel fused on device) produces the same logits as the feature-fed sweep
-    when the features come from identically assembled windows — covers
-    full 10 s windows AND the short-window (video start/end) mask path."""
+def test_sweep_device_audio_matches_reference_features():
+    """Device-resident audio (whole-video wav shipped once, LEFT-ALIGNED
+    window gather + mel fused on device) produces the same logits as
+    feeding the sweep the REFERENCE host features — mel over the short
+    loaded window, features left-padded (dataset.get_audio_feature via
+    audio_host.reference_audio_features, aff2compdataset.py:227-247). The
+    device STFT grid anchors at the true signal start and the end
+    reflect-pad of short windows is emulated on device, so short windows
+    (video start), full 10 s windows, AND windows truncated by the file
+    end all match the reference path, not just an approximation of it."""
     from auformer.ops import audio_host
-    from auformer.ops.audio import audio_frontend
 
     cfg = Config(model_name="avformer", modality="A;V", task="AU",
                  n_frames=4, dilation=2, image_size=32,
@@ -208,16 +212,15 @@ def test_sweep_device_audio_matches_per_window_features():
     # window truncated by the file end (offset + 10 s > len(wav))
     ts = np.array([120.0, 3000.0, 10500.0, 10800.0, 10900.0, 10950.0])
 
-    slen = cfg.sample_len_frames
     feats = np.zeros((n, 1, cfg.n_mels, cfg.mel_frames), np.float32)
     for i, t in enumerate(ts):
         offset, want = audio_host.audio_window_params(float(t))
         nv = max(min(want, len(wav) - min(offset, len(wav))), 0)
-        buf = np.zeros(slen, np.float32)
-        if nv:
-            buf[slen - nv:] = wav[offset:offset + nv]
-        feats[i] = np.asarray(audio_frontend(
-            buf[None], feature_len=np.array([1 + nv // 441], np.int32)))
+        a = wav[offset:offset + nv][None] if nv else \
+            np.zeros((1, cfg.sample_len_frames), np.float32)
+        feats[i] = audio_host.reference_audio_features(
+            a, cfg.audio_len_secs, cfg.window_stride,
+            cfg.sample_len_frames, cfg.n_mels)[0]
 
     want_logits = sweep.sweep_video(frames, feats, batch=8)
     got = sweep.sweep_video_device_audio(frames, wav, ts, batch=8)
