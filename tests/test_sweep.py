@@ -77,6 +77,40 @@ def test_run_inference_sweep_matches_batched(tmp_path):
     assert t1 == t2
 
 
+def test_run_inference_sweep_strict_parity_matches_default(tmp_path):
+    """--strict_parity routes run_inference_sweep through the reference-
+    exact per-window host audio loop (infer.py); with the left-aligned
+    device mel now exact, both branches must produce identical submission
+    rows and near-identical logits."""
+    import dataclasses
+
+    from auformer.data.fixtures import generate_synthetic_dataset
+    from auformer.infer import run_inference_sweep
+    from auformer.nn import init_model
+
+    root = str(tmp_path / "root")
+    label = str(tmp_path / "labels")
+    generate_synthetic_dataset(root, label, n_videos=2, frames_per_video=16,
+                               image_size=32, audio_secs=1.0,
+                               splits=["test"])
+    cfg = Config(root=root, lmdb_label_dir=label,
+                 cache_dir=str(tmp_path / "cache"),
+                 model_name="avformer", modality="A;V", task="AU",
+                 n_frames=4, dilation=2, image_size=32, batch_size=8,
+                 compute_dtype="float32", use_pallas=False, host_threads=2)
+    model, variables = init_model(cfg)
+    got = run_inference_sweep(cfg, variables,
+                              result_path=str(tmp_path / "r1"), bucket=8)
+    strict = dataclasses.replace(cfg, strict_parity=True)
+    ref = run_inference_sweep(strict, variables,
+                              result_path=str(tmp_path / "r2"), bucket=8)
+    np.testing.assert_allclose(got[:, :12], ref[:, :12],
+                               rtol=2e-4, atol=2e-4)
+    t1 = (tmp_path / "r1" / "au" / "vid001.txt").read_text()
+    t2 = (tmp_path / "r2" / "au" / "vid001.txt").read_text()
+    assert t1 == t2
+
+
 def test_vformer_sweep_matches_clip_forward():
     """VformerSweep (VERDICT round-2 item 8): frame-feature-reuse inference
     for the visual-only flagship matches the clip-at-a-time forward on all
