@@ -353,6 +353,34 @@ class AvformerSweep(SweepBase):
             lambda f, w, s, nv, i: self.fused_sweep_device_audio_fn(
                 self.v, f, w, s, nv, i)
 
+        def fused_sweep_phase_audio(v, frames_u8, wav_ext, phase_mels,
+                                    starts, n_valid, base, phase_sel, idx):
+            """Sweep with EXACT shared-spectrogram audio (ops/phase_mel.py):
+            window offsets fall on <= MAX_PHASES phase-shifted copies of the
+            441-sample hop grid, so interior STFT frames gather from the
+            per-video ``phase_mels`` tables (computed once, ~100x less DFT
+            work than per-window) and only the two window-local reflect
+            edge frames compute per window. Feature parity with the
+            reference host path is ~1e-5 in normalized units
+            (tests/test_phase_mel.py); the default device-audio route when
+            the host plan finds few enough phases."""
+            from .ops.phase_mel import phase_window_features
+            feats = phase_window_features(wav_ext, phase_mels, starts,
+                                          n_valid, base, phase_sel,
+                                          out_frames=self.cfg.mel_frames)
+            return _fused_sweep(v, frames_u8, feats, idx)
+
+        self.fused_sweep_phase_audio_fn = jax.jit(fused_sweep_phase_audio)
+        self.fused_sweep_phase_audio = \
+            lambda f, w, pm, s, nv, b, ps, i: self.fused_sweep_phase_audio_fn(
+                self.v, f, w, pm, s, nv, b, ps, i)
+
+        def _phase_mel_table(wav_ext, phases):
+            from .ops.phase_mel import phase_mel_table
+            return phase_mel_table(wav_ext, phases, n_mels=cfg.n_mels)
+
+        self.phase_mel_table_fn = jax.jit(_phase_mel_table)
+
     def shared_audio_plan(self, timestamps_ms: np.ndarray,
                           total_samples: int) -> np.ndarray:
         """Column-gather plan for shared-spectrogram audio.
@@ -457,6 +485,16 @@ class AvformerSweep(SweepBase):
             wav_dev = _jax.device_put(wav_ext, replicated_sharding(self.mesh))
         starts, n_valid = self.audio_window_plan(timestamps_ms, wav.shape[0])
 
+        # EXACT shared-spectrogram route (ops/phase_mel.py) when the
+        # video's window offsets land on few enough hop-grid phases
+        # (always true for ~30 fps timestamps); per-window route otherwise
+        from .ops.phase_mel import phase_plan
+        pplan = phase_plan(starts.astype(np.int64) - slen, n_valid)
+        phase_mels = None
+        if pplan is not None:
+            phases, base, phase_sel = pplan
+            phase_mels = self.phase_mel_table_fn(wav_dev, phases)
+
         # dispatch every bucket asynchronously and fetch ONE concatenated
         # result per video: the attached chip's RPC tunnel charges >1s per
         # device->host fetch regardless of size, so per-bucket fetches
@@ -465,10 +503,18 @@ class AvformerSweep(SweepBase):
         for s, cur, frames_chunk, rows in self._buckets(n, frames_u8, batch):
             st = self._pad_rows(starts[s:s + cur], batch)
             nv = self._pad_rows(n_valid[s:s + cur], batch)
-            frames_chunk, st, nv, rows = self._shard_data(
-                frames_chunk, st, nv, rows)
-            fut = self.fused_sweep_device_audio(
-                frames_chunk, wav_dev, st, nv, rows)
+            if phase_mels is not None:
+                bs = self._pad_rows(base[s:s + cur], batch)
+                ps = self._pad_rows(phase_sel[s:s + cur], batch)
+                frames_chunk, st, nv, bs, ps, rows = self._shard_data(
+                    frames_chunk, st, nv, bs, ps, rows)
+                fut = self.fused_sweep_phase_audio(
+                    frames_chunk, wav_dev, phase_mels, st, nv, bs, ps, rows)
+            else:
+                frames_chunk, st, nv, rows = self._shard_data(
+                    frames_chunk, st, nv, rows)
+                fut = self.fused_sweep_device_audio(
+                    frames_chunk, wav_dev, st, nv, rows)
             pending.append((s, cur, fut))
         return (n, pending)
 
