@@ -142,7 +142,7 @@ def run_inference(cfg: Config, variables, result_path: str = "results",
 def run_inference_sweep(cfg: Config, variables,
                         result_path: str = "results",
                         dataset: Aff2TestDataset | None = None,
-                        bucket: int = 512, mesh=None) -> np.ndarray:
+                        bucket: int | None = None, mesh=None) -> np.ndarray:
     """Dense-sweep inference (auformer/sweep.py): per video, decode every
     test frame once, run the trunk once per frame, and score all windows
     through the temporal/fusion heads — bit-identical logits to
@@ -166,6 +166,9 @@ def run_inference_sweep(cfg: Config, variables,
     from .sweep import make_sweep
 
     dataset = _testset(cfg, dataset)
+    if bucket is None:
+        from .serve import default_sweep_bucket
+        bucket = default_sweep_bucket()
     if mesh is None and jax.device_count() > 1 and "model" not in cfg.mesh_shape:
         from .core.mesh import make_mesh
         mesh = make_mesh(cfg.mesh_shape)

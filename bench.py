@@ -421,8 +421,12 @@ def measure(sections: list[str], use_pallas: bool, cpu_mode: bool,
             # pass 1 is COLD: wall time includes XLA compile (persistent-
             # cache-hit at worst) — a user's first sweep. pass 2 is the
             # steady state BASELINE.md's throughput row asks about.
+            # bucket 2048: with the phase-mel audio route device compute
+            # no longer penalizes big buckets, and fewer dispatches mean
+            # less tunnel overhead (512: 465-670, 2048: 738-766 clips/s
+            # steady — round-3 probe)
             cold = sweep_serve_benchmark(e2e_cfg, variables, dataset=ds,
-                                         bucket=512, warmup=False,
+                                         bucket=2048, warmup=False,
                                          max_clips=E2E_MAX_CLIPS)
             out["e2e_cold_clips_per_sec"] = round(cold["clips_per_sec"], 2)
             _emit(out)
@@ -439,7 +443,7 @@ def measure(sections: list[str], use_pallas: bool, cpu_mode: bool,
             worker = cold.get("decode_worker")
             for _pass in range(4):
                 s = sweep_serve_benchmark(e2e_cfg, variables, dataset=ds,
-                                          bucket=512, warmup=False,
+                                          bucket=2048, warmup=False,
                                           max_clips=E2E_MAX_CLIPS,
                                           sweep=cold["sweep"],
                                           decode_worker=worker)
@@ -447,11 +451,10 @@ def measure(sections: list[str], use_pallas: bool, cpu_mode: bool,
                 if steady is None or s["clips_per_sec"] > \
                         steady["clips_per_sec"]:
                     steady = s
-                # post decode-renice + grouped-fetch steady state is
-                # 600-750 clips/s on a good tunnel mood (e2e_bench.py,
-                # 2026-08-17); passes cost ~7-15 s so keep trying until
-                # clearly past it
-                if steady["clips_per_sec"] >= 600 or remaining() < 90:
+                # post phase-mel + bucket-2048 steady state is 700-770
+                # clips/s on a good tunnel mood (e2e_bench.py, 2026-08-18);
+                # passes cost ~7-15 s so keep trying until clearly past it
+                if steady["clips_per_sec"] >= 700 or remaining() < 90:
                     break
             if worker is not None:
                 worker.close()

@@ -24,7 +24,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--passes", type=int, default=3)
     ap.add_argument("--max_clips", type=int, default=5120)
-    ap.add_argument("--bucket", type=int, default=512)
+    ap.add_argument("--bucket", type=int, default=2048)
     ap.add_argument("--no_worker", action="store_true",
                     help="force the thread-fallback decode pipeline")
     args = ap.parse_args()
