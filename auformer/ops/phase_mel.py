@@ -116,8 +116,7 @@ def _edge_frames(wav_ext: jax.Array, starts: jax.Array, n_valid: jax.Array,
     hop = HOP_LENGTH
     ext = _EDGE_EXT
 
-    def one(args):
-        s, nv = args
+    def one(s, nv):
         tw1 = nv // hop                               # = T_w - 1 (nv > 0)
         # -- start frame: first 883 window samples, masked to nv --
         buf = jax.lax.dynamic_slice(wav_ext, (s,), (2 * hop + 1,))
@@ -136,7 +135,10 @@ def _edge_frames(wav_ext: jax.Array, starts: jax.Array, n_valid: jax.Array,
         v1 = jnp.where((ar < nvl) | (nv >= 513), refl, 0.0)[hop:hop + 2 * hop]
         return v0, v1
 
-    v0, v1 = jax.lax.map(one, (starts, n_valid), batch_size=64)
+    # vmap, not lax.map: the sequential map (batch_size=64) showed up as
+    # 17% of e2e device busy time (while.21/22 in the round-3 trace); the
+    # vmapped mini buffers are only N x 2207 floats (~18 MB at N=2048)
+    v0, v1 = jax.vmap(one)(starts, n_valid)
     basis = jnp.asarray(_basis_trim())
     fb = jnp.asarray(mel_filterbank(N_FFT // 2 + 1, 0.0, None, n_mels))
     n_freqs = N_FFT // 2 + 1

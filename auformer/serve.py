@@ -14,6 +14,7 @@ This module is also the end-to-end throughput benchmark:
 from __future__ import annotations
 
 import os
+import threading
 import time
 from typing import Iterator
 
@@ -208,11 +209,17 @@ def sweep_stream(cfg: Config, variables, dataset=None, bucket: int | None = None
     device. Works for any ``make_sweep`` model (avformer, vformer).
 
     Tunnel-shaped behavior: video *i+1* decodes while the device sweeps
-    video *i*; result fetches are DEFERRED and GROUPED — one concatenated
-    D2H per ``fetch_group_clips`` in-flight clips (each queued bucket pins
-    its uint8 frame upload until it executes, ~37 KB/clip at 112px; 16384
-    clips ≈ 0.6 GB HBM), because the tunnel charges 1-11 s per fetch
-    regardless of size. Grouping makes yields arrive in bursts.
+    video *i*; result fetches are DEFERRED, GROUPED and ASYNC — one
+    concatenated D2H per ``fetch_group_clips`` in-flight clips (each
+    queued bucket pins its uint8 frame upload until it executes,
+    ~37 KB/clip at 112px), issued from a dedicated fetch thread so the
+    tunnel's 1-11 s per-fetch sync overlaps later videos' decode +
+    dispatch instead of serializing at the end of the pass. Grouping
+    makes yields arrive in bursts, in video order. On the attached-chip
+    tunnel the large default means one drain per pass — smaller groups
+    measured WORSE there (the fetch thread's spin-wait contends with
+    dispatch on a 1-CPU host); multi-core production hosts can lower it
+    for smoother yield latency.
 
     ``stats`` (optional dict) accumulates ``decode_seconds`` /
     ``sweep_seconds`` / ``clips`` in place and exposes the ``sweep`` and
@@ -285,19 +292,36 @@ def sweep_stream(cfg: Config, variables, dataset=None, bucket: int | None = None
 
     pending: list[tuple[np.ndarray, str, object]] = []
     pending_clips = 0
+    # fetches run on a dedicated thread so their 1-11 s tunnel syncs
+    # overlap later videos' decode + dispatch instead of serializing at
+    # the end of the pass (device busy was only ~12% of the sweep phase
+    # in the round-3 e2e trace); futures are consumed IN ORDER so yields
+    # stay in video order
+    fetch_ex = ThreadPoolExecutor(max_workers=1)
+    fetch_futs: list = []
+    st_lock = threading.Lock()
 
-    def _drain():
+    def _drain_async():
         nonlocal pending_clips
         if not pending:
-            return []
-        td = time.perf_counter()
-        outs = sweep.fetch_many([(len(vi), h_) for vi, _, h_ in pending])
-        st["clips"] += sum(len(vi) for vi, _, _ in pending)
-        st["sweep_seconds"] += time.perf_counter() - td
-        done = [(vi, vid, o) for (vi, vid, _), o in zip(pending, outs)]
+            return
+        group = list(pending)
         pending.clear()
         pending_clips = 0
-        return done
+
+        def work():
+            td = time.perf_counter()
+            outs = sweep.fetch_many([(len(vi), h_) for vi, _, h_ in group])
+            with st_lock:
+                st["clips"] += sum(len(vi) for vi, _, _ in group)
+                st["sweep_seconds"] += time.perf_counter() - td
+            return [(vi, vid, o) for (vi, vid, _), o in zip(group, outs)]
+
+        fetch_futs.append(fetch_ex.submit(work))
+
+    def _ready():
+        while fetch_futs and fetch_futs[0].done():
+            yield from fetch_futs.pop(0).result()
 
     def _dispatch(vid_idx, frames, wav, ts):
         nonlocal pending_clips
@@ -305,32 +329,41 @@ def sweep_stream(cfg: Config, variables, dataset=None, bucket: int | None = None
         td = time.perf_counter()
         handle = sweep.dispatch_video(frames, wav=wav, timestamps_ms=ts,
                                       batch=bucket)
-        st["sweep_seconds"] += time.perf_counter() - td
+        with st_lock:
+            st["sweep_seconds"] += time.perf_counter() - td
         # handle = (n_padded, buckets); keep the true vid_idx for demux
         pending.append((vid_idx, video_id, handle[1]))
         pending_clips += len(vid_idx)
 
-    if worker is not None and videos:
-        worker.request(videos[0])
-        for i, _video_nr in enumerate(videos):
-            vid_idx, frames, wav, ts, dsec = worker.result()
-            st["decode_seconds"] += dsec
-            if i + 1 < len(videos):
-                worker.request(videos[i + 1])
-            _dispatch(vid_idx, frames, wav, ts)
-            if pending_clips >= fetch_group_clips:
-                yield from _drain()
-    elif videos:
-        with ThreadPoolExecutor(max_workers=1) as ex:
-            nxt = ex.submit(load_video, videos[0])
+    try:
+        if worker is not None and videos:
+            worker.request(videos[0])
             for i, _video_nr in enumerate(videos):
-                vid_idx, frames, wav, ts = nxt.result()
+                vid_idx, frames, wav, ts, dsec = worker.result()
+                st["decode_seconds"] += dsec
                 if i + 1 < len(videos):
-                    nxt = ex.submit(load_video, videos[i + 1])
+                    worker.request(videos[i + 1])
                 _dispatch(vid_idx, frames, wav, ts)
                 if pending_clips >= fetch_group_clips:
-                    yield from _drain()
-    yield from _drain()
+                    _drain_async()
+                yield from _ready()
+        elif videos:
+            with ThreadPoolExecutor(max_workers=1) as ex:
+                nxt = ex.submit(load_video, videos[0])
+                for i, _video_nr in enumerate(videos):
+                    vid_idx, frames, wav, ts = nxt.result()
+                    if i + 1 < len(videos):
+                        nxt = ex.submit(load_video, videos[i + 1])
+                    _dispatch(vid_idx, frames, wav, ts)
+                    if pending_clips >= fetch_group_clips:
+                        _drain_async()
+                    yield from _ready()
+        _drain_async()
+        for f in fetch_futs:
+            yield from f.result()
+        fetch_futs.clear()
+    finally:
+        fetch_ex.shutdown(wait=True)
 
 
 def sweep_serve_benchmark(cfg: Config, variables, dataset=None,

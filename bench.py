@@ -61,9 +61,11 @@ BASELINE_CLIPS_PER_SEC = 39.0
 REPO = os.path.dirname(os.path.abspath(__file__))
 E2E_CACHE = os.path.join(REPO, ".cache", "bench_e2e")
 COMPILE_CACHE = os.path.join(REPO, ".cache", "jax_compile")
-E2E_VIDEOS = 4
-E2E_FRAMES = 1280  # 4 x 1280 = 5120 test clips
-E2E_MAX_CLIPS = 5120  # whole fixture: pipeline amortizes per-video stalls
+E2E_VIDEOS = 8
+E2E_FRAMES = 1280  # 8 x 1280 = 10240 test clips: enough to amortize the
+                   # tunnel's fixed ~1.4 s fetch-sync + per-video H2D now
+                   # that phase-mel collapsed device compute (round 3)
+E2E_MAX_CLIPS = 10240  # whole fixture: pipeline amortizes per-video stalls
 
 _T0 = time.monotonic()
 
