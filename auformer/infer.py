@@ -184,18 +184,8 @@ def run_inference_sweep(cfg: Config, variables,
         for video_nr in np.unique(dataset.video_db_nr[test_idx]):
             vid_idx = test_idx[dataset.video_db_nr[test_idx] == video_nr]
             video_id = os.path.dirname(dataset.image_path[vid_idx[0]])
-            keys = [dataset._store_key(dataset.image_path[i])
-                    for i in vid_idx]
-            n = len(keys)
-            frames = np.zeros((n, h, w, 3), np.uint8)
-            if dataset.native_image is not None:
-                decoded, ok = dataset.native_image.decode_batch(keys, h, w, 3)
-                frames[ok] = decoded[ok]
-            else:
-                for j, k in enumerate(keys):
-                    img = dataset._get_image_by_key(k)
-                    if img is not None and img.shape[:2] == (h, w):
-                        frames[j] = img
+            from .serve import decode_video_frames
+            frames = decode_video_frames(dataset, vid_idx, h, w)
             feats = np.stack([
                 dataset.get_audio_feature(video_id, int(i))[0]
                 for i in vid_idx]).astype(np.float32)

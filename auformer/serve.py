@@ -27,6 +27,38 @@ from .infer import make_infer_fn
 from .nn import build_model
 
 
+def decode_video_frames(dataset, vid_idx, h: int, w: int) -> np.ndarray:
+    """(N, h, w, 3) uint8 frames for the given dataset rows: native batched
+    JPEG decode with the per-key python fallback (missing/undecodable keys
+    stay black, matching the datasets' black-frame semantics)."""
+    keys = [dataset._store_key(dataset.image_path[i]) for i in vid_idx]
+    frames = np.zeros((len(keys), h, w, 3), np.uint8)
+    if dataset.native_image is not None:
+        decoded, ok = dataset.native_image.decode_batch(keys, h, w, 3)
+        frames[ok] = decoded[ok]
+    else:
+        for j, k in enumerate(keys):
+            img = dataset._get_image_by_key(k)
+            if img is not None and img.shape[:2] == (h, w):
+                frames[j] = img
+    return frames
+
+
+def read_video_wav(audio_dir: str, video_id: str) -> np.ndarray:
+    """Mono float32 wav for a video id (position suffix stripped), zeros(1)
+    on any read failure — the zero-audio fallback the reference applies
+    (aff2compdataset.py:227-232)."""
+    from .data.testset import strip_position
+    from .ops import audio_host
+
+    try:
+        wav, _sr = audio_host.load_wav(
+            os.path.join(audio_dir, strip_position(video_id) + ".wav"))
+        return wav[0]
+    except (OSError, EOFError, ValueError):
+        return np.zeros(1, np.float32)
+
+
 def stream_predictions(cfg: Config, variables,
                        dataset: Aff2TestDataset | None = None,
                        batch_size: int | None = None
@@ -97,8 +129,7 @@ def _decode_worker_main(conn, cfg: Config) -> None:
     except (OSError, AttributeError):
         pass  # unprivileged: keep default priority
 
-    from .data.testset import Aff2TestDataset, strip_position
-    from .ops import audio_host
+    from .data.testset import Aff2TestDataset
 
     ds = Aff2TestDataset(cfg)
     test_idx = np.nonzero(ds.test_ids)[0]
@@ -113,21 +144,11 @@ def _decode_worker_main(conn, cfg: Config) -> None:
         t0 = _time.perf_counter()
         vid_idx = test_idx[ds.video_db_nr[test_idx] == video_nr]
         video_id = os.path.dirname(ds.image_path[vid_idx[0]])
-        keys = [ds._store_key(ds.image_path[i]) for i in vid_idx]
-        frames = np.zeros((len(keys), h, w, 3), np.uint8)
-        if ds.native_image is not None:
-            decoded, ok = ds.native_image.decode_batch(keys, h, w, 3)
-            frames[ok] = decoded[ok]
+        frames = decode_video_frames(ds, vid_idx, h, w)
+        if "A" in cfg.modality:
+            wav = read_video_wav(audio_dir, video_id)
         else:
-            for j, k in enumerate(keys):
-                img = ds._get_image_by_key(k)
-                if img is not None and img.shape[:2] == (h, w):
-                    frames[j] = img
-        try:
-            wav, _sr = audio_host.load_wav(
-                os.path.join(audio_dir, strip_position(video_id) + ".wav"))
-            wav = wav[0]
-        except (OSError, EOFError, ValueError):
+            # visual-only sweeps ignore wav: skip the read + pipe transfer
             wav = np.zeros(1, np.float32)
         ts = np.asarray(ds.time_stamps)[vid_idx]
         conn.send((vid_idx, frames, wav, ts, _time.perf_counter() - t0))
@@ -231,8 +252,7 @@ def sweep_stream(cfg: Config, variables, dataset=None, bucket: int | None = None
     never decodes a video the cut would discard."""
     from concurrent.futures import ThreadPoolExecutor
 
-    from .data.testset import Aff2TestDataset, strip_position
-    from .ops import audio_host
+    from .data.testset import Aff2TestDataset
     from .sweep import make_sweep
 
     dataset = dataset or Aff2TestDataset(cfg)
@@ -260,32 +280,26 @@ def sweep_stream(cfg: Config, variables, dataset=None, bucket: int | None = None
     def load_video(video_nr):
         vid_idx = test_idx[dataset.video_db_nr[test_idx] == video_nr]
         video_id = os.path.dirname(dataset.image_path[vid_idx[0]])
-        keys = [dataset._store_key(dataset.image_path[i]) for i in vid_idx]
-        n = len(keys)
         td = time.perf_counter()
-        frames = np.zeros((n, h, w, 3), np.uint8)
-        if dataset.native_image is not None:
-            decoded, ok = dataset.native_image.decode_batch(keys, h, w, 3)
-            frames[ok] = decoded[ok]
+        frames = decode_video_frames(dataset, vid_idx, h, w)
+        if sweep.needs_audio:
+            wav = read_video_wav(audio_dir, video_id)
         else:
-            for j, k in enumerate(keys):
-                img = dataset._get_image_by_key(k)
-                if img is not None and img.shape[:2] == (h, w):
-                    frames[j] = img
-        try:
-            wav, _sr = audio_host.load_wav(
-                os.path.join(audio_dir, strip_position(video_id) + ".wav"))
-            wav = wav[0]
-        except (OSError, EOFError, ValueError):
             wav = np.zeros(1, np.float32)
         st["decode_seconds"] += time.perf_counter() - td
         ts = np.asarray(dataset.time_stamps)[vid_idx]
         return vid_idx, frames, wav, ts
 
     worker = decode_worker or None  # False = forced thread fallback
-    if worker is None and decode_worker is not False and videos:
+    owns_worker = False
+    if worker is None and decode_worker is not False and videos \
+            and sum(counts) >= 2000:
+        # the spawned child pays 10-30 s of imports + dataset ctor on the
+        # 1-CPU box — only worth it past a few thousand clips (same
+        # threshold as infer.run_inference_sweep)
         try:
             worker = DecodeWorker(cfg)
+            owns_worker = True
         except Exception:
             worker = None
     st["decode_worker"] = worker
@@ -364,6 +378,12 @@ def sweep_stream(cfg: Config, variables, dataset=None, bucket: int | None = None
         fetch_futs.clear()
     finally:
         fetch_ex.shutdown(wait=True)
+        if owns_worker and worker is not None:
+            # workers passed in by the caller are reused across passes
+            # (sweep_serve_benchmark); internally-created ones would leak
+            # a -10-niced child per call otherwise
+            worker.close()
+            st["decode_worker"] = None
 
 
 def sweep_serve_benchmark(cfg: Config, variables, dataset=None,
@@ -415,8 +435,11 @@ def sweep_serve_benchmark(cfg: Config, variables, dataset=None,
 
     # worker startup (child imports + dataset ctor, ~10-30 s on the 1-CPU
     # box) happens BEFORE the clock — one-time setup like XLA compile, not
-    # decode work; per-video decode is always billed inside the clock
-    if decode_worker is None and videos:
+    # decode work; per-video decode is always billed inside the clock.
+    # Same >=2000-clip threshold as sweep_stream: below it the thread
+    # fallback wins and tiny CPU fixtures shouldn't pay the spawn cost
+    if decode_worker is None and videos \
+            and int(dataset.test_ids.sum()) >= 2000:
         try:
             decode_worker = DecodeWorker(cfg)
         except Exception:

@@ -670,9 +670,18 @@ def main():
                 ("rescue", "smoke", None)]:    # minimal, no-pallas
             have = _merge(results) if results else {}
             if name in ("full", "refill"):
+                # re-run every section whose FIELD is still missing, not
+                # just everything-or-nothing: a transient tunnel error can
+                # kill one section of an otherwise-successful attempt, and
+                # the headline metric must come from the dense sweep, not
+                # degrade silently to the smoke rate
                 missing = []
-                if not results:
-                    missing = ["smoke", "clip", "sweep"]
+                if have.get("smoke_clips_per_sec") is None:
+                    missing.append("smoke")
+                if have.get("clip_batch_clips_per_sec") is None:
+                    missing.append("clip")
+                if "dense_sweep" not in have.get("sections_done", []):
+                    missing.append("sweep")
                 if have.get("train_step_ms") is None:
                     missing.append("train")
                 e2e_have = have.get("e2e_decode_infer_clips_per_sec")

@@ -1,9 +1,9 @@
 """Standalone end-to-end decode->fused-infer benchmark.
 
 Runs the same ``sweep_serve_benchmark`` workload as bench.py's e2e
-section (cold pass + N steady-state passes over the synthetic 4-video
-FrameStore fixture) without the bench ladder around it — for profiling
-and A/B work on the serving pipeline. Must be a real file on disk: the
+section (cold pass + N steady-state passes over the synthetic 8-video
+10,240-clip FrameStore fixture) without the bench ladder around it —
+for profiling and A/B work on the serving pipeline. Must be a real file on disk: the
 process-isolated DecodeWorker uses the ``spawn`` start method, which
 re-imports __main__ (a heredoc/stdin __main__ makes the worker fail and
 silently falls back to the slower thread pipeline).
@@ -23,7 +23,7 @@ sys.path.insert(0, REPO)
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--passes", type=int, default=3)
-    ap.add_argument("--max_clips", type=int, default=5120)
+    ap.add_argument("--max_clips", type=int, default=10240)
     ap.add_argument("--bucket", type=int, default=2048)
     ap.add_argument("--no_worker", action="store_true",
                     help="force the thread-fallback decode pipeline")
