@@ -417,6 +417,7 @@ def sweep_serve_benchmark(cfg: Config, variables, dataset=None,
     videos = list(np.unique(dataset.video_db_nr[test_idx]))
 
     if warmup and videos and sweep.needs_audio:
+        from .data.testset import strip_position
         vid_idx0 = test_idx[dataset.video_db_nr[test_idx] == videos[0]]
         video_id0 = os.path.dirname(dataset.image_path[vid_idx0[0]])
         try:
@@ -425,12 +426,16 @@ def sweep_serve_benchmark(cfg: Config, variables, dataset=None,
                 wav_len = f.getnframes()
         except (OSError, EOFError):
             wav_len = 1
+        # warm with the FIRST VIDEO's clip count, not the bucket cap: the
+        # adaptive bucket size compiles per quantized video length
+        n0 = len(vid_idx0)
         sweep.sweep_video_device_audio(
-            np.zeros((bucket, h, w, 3), np.uint8),
+            np.zeros((n0, h, w, 3), np.uint8),
             np.zeros(wav_len, np.float32),
-            np.zeros(bucket), batch=bucket)
+            np.zeros(n0), batch=bucket)
     elif warmup and videos:
-        sweep.sweep_video(np.zeros((bucket, h, w, 3), np.uint8),
+        n0 = int(np.sum(dataset.video_db_nr[test_idx] == videos[0]))
+        sweep.sweep_video(np.zeros((n0, h, w, 3), np.uint8),
                           batch=bucket)
 
     # worker startup (child imports + dataset ctor, ~10-30 s on the 1-CPU

@@ -135,18 +135,39 @@ class SweepBase:
         oob = (idx < 0) | (idx >= n_frames_video)
         return np.where(oob, n_frames_video, idx)
 
+    #: bucket sizes quantize to this many label frames: bounds the number
+    #: of compiled program shapes at batch/quantum while keeping pad waste
+    #: under quantum-1 rows per bucket (a fixed ``batch`` bucket wasted up
+    #: to 60% of device compute on short videos — round-3 e2e trace)
+    bucket_quantum: int = 256
+
+    def _bucket_size(self, n: int, batch: int) -> int:
+        """Uniform per-bucket size for an n-clip video: the video splits
+        into ceil(n/batch) buckets whose size is ceil-divided n quantized
+        up to ``bucket_quantum``, so short videos don't pay full-``batch``
+        padding and long videos still cap at ``batch`` rows/program."""
+        if n <= 0:
+            return batch
+        q = self.bucket_quantum
+        k = -(-n // batch)                  # buckets needed at the cap
+        even = -(-n // k)                   # even split across them
+        per = -(-even // q) * q             # quantized up
+        return min(max(per, q), batch)
+
     def _buckets(self, n: int, frames_u8: np.ndarray, batch: int):
-        """Yield (s, cur, frames_chunk, rows) per bucket of ``batch`` label
-        frames: frames padded to the static batch+label_frame shape with a
+        """Yield (s, cur, bsize, frames_chunk, rows) per bucket of
+        ``bsize`` label frames (video-adaptive, see ``_bucket_size``):
+        frames padded to the static bsize+label_frame shape with a
         history margin for cross-bucket windows; window rows remapped to
-        chunk-local coordinates with the black slot at batch+label_frame.
+        chunk-local coordinates with the black slot at bsize+label_frame.
         The shared machinery behind every sweep_video* variant — each
         variant only supplies its per-bucket payload (padded with
-        ``_pad_rows``)."""
+        ``_pad_rows`` to ``bsize``)."""
         lf = self.cfg.label_frame
         idx_full = self.window_indices(n)
-        for s in range(0, n, batch):
-            cur = min(batch, n - s)
+        bsize = self._bucket_size(n, batch)
+        for s in range(0, n, bsize):
+            cur = min(bsize, n - s)
             lo = max(s - lf, 0)
             frames_chunk = frames_u8[lo:s + cur]
             rows = idx_full[s:s + cur].copy()
@@ -154,17 +175,17 @@ class SweepBase:
             rows = np.where(rows == n, -1, rows) - lo
             rows = np.where((rows < 0) | (rows >= black_slot),
                             black_slot, rows)
-            fpad = batch + lf - len(frames_chunk)
+            fpad = bsize + lf - len(frames_chunk)
             if fpad:
                 frames_chunk = np.concatenate(
                     [frames_chunk,
                      np.zeros((fpad,) + frames_chunk.shape[1:], np.uint8)])
-            if cur < batch:
+            if cur < bsize:
                 rows = np.concatenate(
-                    [rows, np.full((batch - cur, rows.shape[1]),
+                    [rows, np.full((bsize - cur, rows.shape[1]),
                                    black_slot)])
-            rows = np.where(rows == black_slot, batch + lf, rows)
-            yield s, cur, frames_chunk, rows
+            rows = np.where(rows == black_slot, bsize + lf, rows)
+            yield s, cur, bsize, frames_chunk, rows
 
     @staticmethod
     def _pad_rows(arr: np.ndarray, batch: int) -> np.ndarray:
@@ -422,8 +443,9 @@ class AvformerSweep(SweepBase):
         cols = self.shared_audio_plan(timestamps_ms, wav.shape[-1])
 
         out = np.zeros((n, 12), np.float32)
-        for s, cur, frames_chunk, rows in self._buckets(n, frames_u8, batch):
-            cc = self._pad_rows(cols[s:s + cur], batch)
+        for s, cur, bsize, frames_chunk, rows in self._buckets(
+                n, frames_u8, batch):
+            cc = self._pad_rows(cols[s:s + cur], bsize)
             logits = np.asarray(self.fused_sweep_shared_audio(
                 frames_chunk, mel_padded, cc, rows))
             out[s:s + cur] = logits[:cur]
@@ -500,12 +522,13 @@ class AvformerSweep(SweepBase):
         # device->host fetch regardless of size, so per-bucket fetches
         # dominate the sweep (VERDICT round-2 e2e work)
         pending = []  # (s, cur, device future)
-        for s, cur, frames_chunk, rows in self._buckets(n, frames_u8, batch):
-            st = self._pad_rows(starts[s:s + cur], batch)
-            nv = self._pad_rows(n_valid[s:s + cur], batch)
+        for s, cur, bsize, frames_chunk, rows in self._buckets(
+                n, frames_u8, batch):
+            st = self._pad_rows(starts[s:s + cur], bsize)
+            nv = self._pad_rows(n_valid[s:s + cur], bsize)
             if phase_mels is not None:
-                bs = self._pad_rows(base[s:s + cur], batch)
-                ps = self._pad_rows(phase_sel[s:s + cur], batch)
+                bs = self._pad_rows(base[s:s + cur], bsize)
+                ps = self._pad_rows(phase_sel[s:s + cur], bsize)
                 frames_chunk, st, nv, bs, ps, rows = self._shard_data(
                     frames_chunk, st, nv, bs, ps, rows)
                 fut = self.fused_sweep_phase_audio(
@@ -554,15 +577,17 @@ class AvformerSweep(SweepBase):
                     batch: int = 512) -> np.ndarray:
         """frames_u8 (N,H,W,3) + audio_features (N,1,mels,T) -> (N,12).
 
-        Buckets of ``batch`` frames run through ONE fused device program
-        each (pad-to-bucket keeps a single compiled shape). The window
-        gather crosses bucket boundaries through a history margin of
-        label_frame frames prepended to each bucket.
+        Buckets of up to ``batch`` frames run through ONE fused device
+        program each (video-adaptive quantized bucket size — static
+        compiled shapes, bounded pad waste; see ``_bucket_size``). The
+        window gather crosses bucket boundaries through a history margin
+        of label_frame frames prepended to each bucket.
         """
         n = frames_u8.shape[0]
         out = np.zeros((n, 12), np.float32)
-        for s, cur, frames_chunk, rows in self._buckets(n, frames_u8, batch):
-            af = self._pad_rows(audio_features[s:s + cur], batch)
+        for s, cur, bsize, frames_chunk, rows in self._buckets(
+                n, frames_u8, batch):
+            af = self._pad_rows(audio_features[s:s + cur], bsize)
             frames_chunk, af, rows = self._shard_data(frames_chunk, af, rows)
             logits = np.asarray(self.fused_sweep(frames_chunk, af, rows))
             out[s:s + cur] = logits[:cur]
@@ -637,7 +662,8 @@ class VformerSweep(SweepBase):
         :meth:`fetch_many`."""
         n = frames_u8.shape[0]
         pending = []
-        for s, cur, frames_chunk, rows in self._buckets(n, frames_u8, batch):
+        for s, cur, _bsize, frames_chunk, rows in self._buckets(
+                n, frames_u8, batch):
             frames_chunk, rows = self._shard_data(frames_chunk, rows)
             fut = self.fused_sweep(frames_chunk, rows)
             pending.append((s, cur, fut))

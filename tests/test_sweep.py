@@ -50,6 +50,25 @@ def test_window_indices():
     np.testing.assert_array_equal(idx[0], [10, 10, 10, 0])
 
 
+def test_bucket_size_adaptive():
+    """Video-adaptive bucket sizing: short videos don't pad to the cap,
+    sizes quantize to bucket_quantum, and the cap still binds."""
+    sweep = object.__new__(AvformerSweep)
+    # short video, big cap: one bucket of the quantized video length
+    assert AvformerSweep._bucket_size(sweep, 1280, 2048) == 1280
+    assert AvformerSweep._bucket_size(sweep, 1281, 2048) == 1536
+    # longer than the cap: even split across ceil(n/batch) buckets
+    assert AvformerSweep._bucket_size(sweep, 5000, 2048) == 1792  # 3 buckets
+    # cap smaller than the quantum (CPU tests): exactly the old behavior
+    assert AvformerSweep._bucket_size(sweep, 5, 8) == 8
+    assert AvformerSweep._bucket_size(sweep, 13, 8) == 8
+    # degenerate
+    assert AvformerSweep._bucket_size(sweep, 0, 512) == 512
+    # every size divides cleanly for an 8-way data mesh
+    for n in (1280, 1281, 5000, 300):
+        assert AvformerSweep._bucket_size(sweep, n, 2048) % 8 == 0
+
+
 def test_run_inference_sweep_matches_batched(tmp_path):
     """The dense-sweep inference entry produces the same AU predictions and
     submission rows as the clip-batched path."""
