@@ -453,10 +453,10 @@ def measure(sections: list[str], use_pallas: bool, cpu_mode: bool,
                 if steady is None or s["clips_per_sec"] > \
                         steady["clips_per_sec"]:
                     steady = s
-                # post phase-mel + bucket-2048 steady state is 700-770
-                # clips/s on a good tunnel mood (e2e_bench.py, 2026-08-18);
-                # passes cost ~7-15 s so keep trying until clearly past it
-                if steady["clips_per_sec"] >= 700 or remaining() < 90:
+                # post adaptive-bucket steady state is 740-990 clips/s on
+                # a good tunnel mood (e2e_bench.py, 2026-08-18); passes
+                # cost ~7-15 s so keep trying until clearly past it
+                if steady["clips_per_sec"] >= 850 or remaining() < 90:
                     break
             if worker is not None:
                 worker.close()
