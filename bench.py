@@ -685,9 +685,10 @@ def main():
                 if have.get("train_step_ms") is None:
                     missing.append("train")
                 e2e_have = have.get("e2e_decode_infer_clips_per_sec")
-                # below 500: landed on a bad tunnel mood — retry; _merge
-                # keeps the best steady-state across attempts
-                if e2e_have is None or e2e_have < 500:
+                # below 650: landed on a bad tunnel mood (steady is
+                # 740-990 post adaptive buckets) — retry; _merge keeps
+                # the best steady-state across attempts
+                if e2e_have is None or e2e_have < 650:
                     missing.append("e2e")
                 if not missing:
                     continue
