@@ -124,3 +124,25 @@ def ensure_synthetic(cfg) -> None:
         frames_per_video=max(cfg.label_frame * 2, 48),
         image_size=cfg.image_size,
         audio_secs=max(cfg.label_frame * 2, 48) / 30.0 + 0.5)
+
+
+def ensure_fixture(cache_dir: str, params: str, generate) -> None:
+    """Generate-or-reuse a synthetic fixture directory guarded by a params
+    stamp: when the cached fixture under ``cache_dir`` was built with a
+    different ``params`` string (shape/mesh-size dependent), wipe and call
+    ``generate()`` again. Shared by the driver hooks (bench.py e2e fixture,
+    __graft_entry__ dryrun fixture) so stale-shape regeneration has one
+    implementation."""
+    import shutil
+
+    marker = os.path.join(cache_dir, "root", "video2orignal.pkl")
+    stamp = os.path.join(cache_dir, "fixture_params.txt")
+    if os.path.isfile(marker) and (
+            not os.path.isfile(stamp)
+            or open(stamp).read().strip() != params):
+        shutil.rmtree(cache_dir, ignore_errors=True)
+    if not os.path.isfile(marker):
+        generate()
+        os.makedirs(cache_dir, exist_ok=True)
+        with open(stamp, "w") as f:
+            f.write(params)

@@ -349,29 +349,33 @@ def sweep_stream(cfg: Config, variables, dataset=None, bucket: int | None = None
         pending.append((vid_idx, video_id, handle[1]))
         pending_clips += len(vid_idx)
 
-    try:
-        if worker is not None and videos:
+    def _decoded_videos():
+        """One-ahead decode of every video: the worker process when
+        available, the thread fallback otherwise — same overlap shape."""
+        if worker is not None:
             worker.request(videos[0])
             for i, _video_nr in enumerate(videos):
                 vid_idx, frames, wav, ts, dsec = worker.result()
                 st["decode_seconds"] += dsec
                 if i + 1 < len(videos):
                     worker.request(videos[i + 1])
+                yield vid_idx, frames, wav, ts
+        else:
+            with ThreadPoolExecutor(max_workers=1) as ex:
+                nxt = ex.submit(load_video, videos[0])
+                for i, _video_nr in enumerate(videos):
+                    item = nxt.result()
+                    if i + 1 < len(videos):
+                        nxt = ex.submit(load_video, videos[i + 1])
+                    yield item
+
+    try:
+        if videos:
+            for vid_idx, frames, wav, ts in _decoded_videos():
                 _dispatch(vid_idx, frames, wav, ts)
                 if pending_clips >= fetch_group_clips:
                     _drain_async()
                 yield from _ready()
-        elif videos:
-            with ThreadPoolExecutor(max_workers=1) as ex:
-                nxt = ex.submit(load_video, videos[0])
-                for i, _video_nr in enumerate(videos):
-                    vid_idx, frames, wav, ts = nxt.result()
-                    if i + 1 < len(videos):
-                        nxt = ex.submit(load_video, videos[i + 1])
-                    _dispatch(vid_idx, frames, wav, ts)
-                    if pending_clips >= fetch_group_clips:
-                        _drain_async()
-                    yield from _ready()
         _drain_async()
         for f in fetch_futs:
             yield from f.result()

@@ -77,25 +77,16 @@ def _progress(msg: str) -> None:
 
 def _ensure_e2e_dataset():
     """Synthetic all-test dataset of real 112x112 JPEGs (cached on disk)."""
-    import shutil
-    from auformer.data.fixtures import generate_synthetic_dataset
-    marker = os.path.join(E2E_CACHE, "root", "video2orignal.pkl")
-    params = os.path.join(E2E_CACHE, "fixture_params.txt")
-    want = f"{E2E_VIDEOS}x{E2E_FRAMES}@112"
-    if os.path.isfile(marker) and (
-            not os.path.isfile(params)
-            or open(params).read().strip() != want):
-        shutil.rmtree(E2E_CACHE, ignore_errors=True)  # stale fixture shape
-    if not os.path.isfile(marker):
-        generate_synthetic_dataset(
+    from auformer.data.fixtures import (ensure_fixture,
+                                        generate_synthetic_dataset)
+    ensure_fixture(
+        E2E_CACHE, f"{E2E_VIDEOS}x{E2E_FRAMES}@112",
+        lambda: generate_synthetic_dataset(
             os.path.join(E2E_CACHE, "root"),
             os.path.join(E2E_CACHE, "labels"),
             n_videos=E2E_VIDEOS, frames_per_video=E2E_FRAMES,
             image_size=112, splits=["test"],
-            audio_secs=E2E_FRAMES / 30.0 + 0.5)
-        os.makedirs(E2E_CACHE, exist_ok=True)
-        with open(params, "w") as f:
-            f.write(want)
+            audio_secs=E2E_FRAMES / 30.0 + 0.5))
     return (os.path.join(E2E_CACHE, "root"),
             os.path.join(E2E_CACHE, "labels"),
             os.path.join(E2E_CACHE, "cache"))
@@ -423,12 +414,13 @@ def measure(sections: list[str], use_pallas: bool, cpu_mode: bool,
             # pass 1 is COLD: wall time includes XLA compile (persistent-
             # cache-hit at worst) — a user's first sweep. pass 2 is the
             # steady state BASELINE.md's throughput row asks about.
-            # bucket 2048: with the phase-mel audio route device compute
-            # no longer penalizes big buckets, and fewer dispatches mean
+            # bucket cap comes from serve.default_sweep_bucket (2048 on
+            # TPU): with the phase-mel audio route device compute no
+            # longer penalizes big buckets, and fewer dispatches mean
             # less tunnel overhead (512: 465-670, 2048: 738-766 clips/s
             # steady — round-3 probe)
             cold = sweep_serve_benchmark(e2e_cfg, variables, dataset=ds,
-                                         bucket=2048, warmup=False,
+                                         warmup=False,
                                          max_clips=E2E_MAX_CLIPS)
             out["e2e_cold_clips_per_sec"] = round(cold["clips_per_sec"], 2)
             _emit(out)
@@ -445,7 +437,7 @@ def measure(sections: list[str], use_pallas: bool, cpu_mode: bool,
             worker = cold.get("decode_worker")
             for _pass in range(4):
                 s = sweep_serve_benchmark(e2e_cfg, variables, dataset=ds,
-                                          bucket=2048, warmup=False,
+                                          warmup=False,
                                           max_clips=E2E_MAX_CLIPS,
                                           sweep=cold["sweep"],
                                           decode_worker=worker)

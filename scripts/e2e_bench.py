@@ -24,7 +24,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--passes", type=int, default=3)
     ap.add_argument("--max_clips", type=int, default=10240)
-    ap.add_argument("--bucket", type=int, default=2048)
+    ap.add_argument("--bucket", type=int, default=None,
+                    help="bucket cap (default: serve.default_sweep_bucket)")
     ap.add_argument("--no_worker", action="store_true",
                     help="force the thread-fallback decode pipeline")
     args = ap.parse_args()
