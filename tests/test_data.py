@@ -238,3 +238,29 @@ def test_split_rejects_wrong_sample_rate(tmp_path):
               np.zeros((1, 1000), np.float32), sample_rate=16000)
     with pytest.raises(AssertionError, match="44100"):
         create_dataset_split(root)
+
+
+def test_ensure_fixture_params_guard(tmp_path):
+    """ensure_fixture regenerates when the params stamp changes and reuses
+    the cached fixture when it matches (driver hooks: bench e2e fixture,
+    dryrun fixture)."""
+    from auformer.data.fixtures import ensure_fixture
+
+    cache = str(tmp_path / "fix")
+    calls = []
+
+    def gen(tag):
+        def _g():
+            os.makedirs(os.path.join(cache, "root"), exist_ok=True)
+            open(os.path.join(cache, "root", "video2orignal.pkl"),
+                 "wb").close()
+            calls.append(tag)
+        return _g
+
+    ensure_fixture(cache, "2x14@32", gen("a"))
+    assert calls == ["a"]
+    ensure_fixture(cache, "2x14@32", gen("b"))     # cached: no regen
+    assert calls == ["a"]
+    ensure_fixture(cache, "2x32@32", gen("c"))     # params changed: regen
+    assert calls == ["a", "c"]
+    assert open(os.path.join(cache, "fixture_params.txt")).read() == "2x32@32"
