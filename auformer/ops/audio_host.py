@@ -131,3 +131,22 @@ def audio_window_params(timestamp_ms: float,
     n = min(sample_len_frames, max(ts_samples, int(window_size * sample_rate)))
     offset = max(ts_samples - sample_len_frames + audio_shift_samples, 0)
     return offset, n
+
+
+def audio_window_params_batch(timestamps_ms,
+                              sample_rate: int = SAMPLE_RATE,
+                              sample_len_frames: int = 441000,
+                              audio_shift_samples: int = 5 * SAMPLE_RATE,
+                              window_size: float = 20e-3
+                              ) -> "tuple[np.ndarray, np.ndarray]":
+    """Vectorized :func:`audio_window_params` over an (N,) timestamp array
+    -> (offsets, num_samples) int64 arrays, element-wise identical (same
+    float64 arithmetic + truncation; a Python loop over ~1300 timestamps
+    cost ~0.25 s/pass in the serving sweep)."""
+    ts = np.asarray(timestamps_ms, np.float64)
+    ts_samples = ((ts / 1000.0) * sample_rate).astype(np.int64)
+    n = np.minimum(sample_len_frames,
+                   np.maximum(ts_samples, int(window_size * sample_rate)))
+    offset = np.maximum(
+        ts_samples - sample_len_frames + audio_shift_samples, 0)
+    return offset, n

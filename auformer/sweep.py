@@ -466,16 +466,13 @@ class AvformerSweep(SweepBase):
         """
         from .ops import audio_host
         cfg = self.cfg
-        n = len(timestamps_ms)
-        starts = np.zeros(n, np.int32)
-        n_valid = np.zeros(n, np.int32)
-        for i, ts in enumerate(np.asarray(timestamps_ms)):
-            offset, want = audio_host.audio_window_params(
-                float(ts), cfg.sample_rate, cfg.sample_len_frames,
-                cfg.audio_shift_samples)
-            nv = max(min(want, total_samples - min(offset, total_samples)), 0)
-            starts[i] = cfg.sample_len_frames + min(offset, total_samples)
-            n_valid[i] = nv
+        offsets, want = audio_host.audio_window_params_batch(
+            timestamps_ms, cfg.sample_rate, cfg.sample_len_frames,
+            cfg.audio_shift_samples)
+        off_c = np.minimum(offsets, total_samples)
+        n_valid = np.maximum(
+            np.minimum(want, total_samples - off_c), 0).astype(np.int32)
+        starts = (cfg.sample_len_frames + off_c).astype(np.int32)
         return starts, n_valid
 
     def dispatch_video_device_audio(self, frames_u8: np.ndarray,

@@ -138,3 +138,17 @@ def test_audio_frontend_mel_bf16_close():
     # dB-domain error stays small (values span ~[-5, 5] post-normalize)
     assert np.abs(fast - exact).mean() < 0.02
     assert np.abs(fast - exact).max() < 0.6
+
+
+def test_audio_window_params_batch_matches_scalar():
+    """Vectorized window planning is element-wise identical to the scalar
+    reference math (aff2compdataset.py:218-226) across edge cases."""
+    from auformer.ops.audio_host import (audio_window_params,
+                                         audio_window_params_batch)
+
+    ts = np.array([0.0, 1.0, 33.3, 120.0, 1000.0 / 30 * 7, 9999.9,
+                   10000.0, 10500.0, 3_600_000.0, 220500 / 44.1])
+    off_b, n_b = audio_window_params_batch(ts)
+    for i, t in enumerate(ts):
+        off_s, n_s = audio_window_params(float(t))
+        assert off_b[i] == off_s and n_b[i] == n_s, (t, off_b[i], off_s)
