@@ -90,8 +90,17 @@ def init_model(cfg: Config, model=None, seed: int | None = None):
     """Initialize (params, batch_stats) with a batch-size-2 dummy batch."""
     model = model or build_model(cfg)
     x = example_batch(cfg, batch_size=2)
-    variables = model.init(
-        {"params": jax.random.PRNGKey(seed if seed is not None else cfg.seed),
-         "dropout": jax.random.PRNGKey(1)},
-        x, train=False)
+    rngs = {
+        "params": jax.random.PRNGKey(seed if seed is not None else cfg.seed),
+        "dropout": jax.random.PRNGKey(1)}
+    if jax.default_backend() == "cpu":
+        variables = model.init(rngs, x, train=False)
+    else:
+        # Eager flax init dispatches thousands of individual ops through
+        # the device RPC tunnel (~30 ms+ each on axon: a multi-minute
+        # stall observed in round 3). One jitted program compiles once
+        # and hits the persistent compilation cache on every later run.
+        import functools
+        variables = jax.jit(functools.partial(model.init, train=False))(
+            rngs, x)
     return model, variables

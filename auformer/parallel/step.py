@@ -94,10 +94,16 @@ def make_optimizer(cfg: Config, params=None) -> optax.GradientTransformation:
 
 def create_train_state(cfg: Config, model, variables) -> TrainState:
     tx = make_optimizer(cfg, variables["params"])
+    if jax.default_backend() == "cpu":
+        opt_state = tx.init(variables["params"])
+    else:
+        # eager optax init dispatches one op per param leaf — slow through
+        # a device RPC tunnel; one jitted program hits the compile cache
+        opt_state = jax.jit(tx.init)(variables["params"])
     return TrainState(step=jnp.zeros((), jnp.int32),
                       params=variables["params"],
                       batch_stats=variables.get("batch_stats", {}),
-                      opt_state=tx.init(variables["params"]), tx=tx)
+                      opt_state=opt_state, tx=tx)
 
 
 def prep_batch(batch: dict, train: bool, flip_rng=None,

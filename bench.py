@@ -239,7 +239,9 @@ def measure(sections: list[str], use_pallas: bool, cpu_mode: bool,
 
     _progress(f"backend={out['backend']} pallas={use_pallas} "
               f"sections={sections}")
-    wd.section("model init", 360)
+    # jitted init (registry.init_model): a cold compile through the tunnel
+    # can run minutes; warm runs hit the persistent cache in seconds
+    wd.section("model init", 780)
     model, variables = init_model(cfg)
     _progress("model init done")
 

@@ -179,3 +179,25 @@ def test_bf16_train_step_grads(name, modality):
     }
     state, metrics = step(state, batch, jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_jit_init_matches_eager_init():
+    """init_model takes a jitted-init path on accelerator backends (one
+    compiled program instead of thousands of eager tunnel dispatches —
+    registry.init_model). The jitted init must produce the identical
+    variable tree as flax's eager init."""
+    import functools
+
+    cfg = Config(model_name="vformer", modality="V", task="AU",
+                 n_frames=2, image_size=32, batch_size=2,
+                 compute_dtype="float32", use_pallas=False)
+    model = build_model(cfg)
+    x = example_batch(cfg, batch_size=2)
+    rngs = {"params": jax.random.PRNGKey(cfg.seed),
+            "dropout": jax.random.PRNGKey(1)}
+    eager = model.init(rngs, x, train=False)
+    jitted = jax.jit(functools.partial(model.init, train=False))(rngs, x)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        eager, jitted)
