@@ -97,7 +97,13 @@ def phase_mel_table(wav_ext: jax.Array, phases: jax.Array,
         return jax.lax.dot_general(power, fb, (((1,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32)
 
-    return jax.vmap(one)(phases)                      # (P, T_g, M)
+    # static unroll over the (small, MAX_PHASES-padded) phase axis: a
+    # vmapped dynamic-slice of the ~2.6 M-sample grid lowers to a SERIAL
+    # while + dynamic-update-slice chain materializing an (P, (T_g+1)*441)
+    # f32 buffer (while.12/13 + dynamic-update-slice.28, ~6 ms/bucket in
+    # the round-3 phase trace); unrolled, XLA emits P independent
+    # slice -> matmul chains it can schedule in parallel
+    return jnp.stack([one(phases[i]) for i in range(phases.shape[0])])
 
 
 def _edge_frames(wav_ext: jax.Array, starts: jax.Array, n_valid: jax.Array,
@@ -130,8 +136,18 @@ def _edge_frames(wav_ext: jax.Array, starts: jax.Array, n_valid: jax.Array,
         nvl = nv - (tw1 - 2) * hop
         ar = jnp.arange(ext, dtype=jnp.int32)
         wm = jnp.where(ar < nvl, w, 0.0)
-        src = jnp.clip(jnp.where(ar < nvl, ar, 2 * nvl - 2 - ar), 0, ext - 1)
-        refl = jnp.take(wm, src)
+        # end-reflect wm[2*nvl - 2 - ar] for ar >= nvl is a CONTIGUOUS
+        # ascending run of the reversed buffer, so one dynamic-slice of
+        # [zeros | reverse(wm) | zeros] replaces the element gather
+        # (fusion.2, ~7 ms/bucket in the round-3 phase trace). The gather
+        # form's index clip never fired on the used [hop, 3*hop) slice:
+        # nvl = (nv mod 441) + 882 >= 882 for every nv >= 513, so
+        # 2*nvl - 2 >= 1762 > 3*hop - 1; below 513 the reflect is masked.
+        z = jnp.zeros(ext, wm.dtype)
+        refl_rev = jax.lax.dynamic_slice(
+            jnp.concatenate([z, wm[::-1], z]),
+            (2 * ext + 1 - 2 * nvl,), (ext,))
+        refl = jnp.where(ar < nvl, wm, refl_rev)
         v1 = jnp.where((ar < nvl) | (nv >= 513), refl, 0.0)[hop:hop + 2 * hop]
         return v0, v1
 

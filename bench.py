@@ -216,6 +216,7 @@ def measure(sections: list[str], use_pallas: bool, cpu_mode: bool,
         "metric": "clips_per_sec_per_chip", "value": 0.0, "unit": "clips/s",
         "vs_baseline": 0.0, "mode": "none",
         "smoke_clips_per_sec": None,
+        "sweep_phase_clips_per_sec": None,
         "clip_batch_clips_per_sec": None,
         "e2e_decode_infer_clips_per_sec": None,
         "e2e_cold_clips_per_sec": None,
@@ -226,7 +227,8 @@ def measure(sections: list[str], use_pallas: bool, cpu_mode: bool,
     }
     errors = {}
 
-    _MODE_RANK = {"none": 0, "smoke": 1, "clip_batch": 2, "dense_sweep": 3}
+    _MODE_RANK = {"none": 0, "smoke": 1, "clip_batch": 2, "dense_sweep": 3,
+                  "dense_sweep_phase": 4}
 
     def set_value(rate: float, mode: str):
         if _MODE_RANK[mode] > _MODE_RANK[out["mode"]]:
@@ -336,6 +338,76 @@ def measure(sections: list[str], use_pallas: bool, cpu_mode: bool,
         except Exception as e:
             errors["dense_sweep"] = repr(e)[:300]
             _progress(f"dense_sweep failed: {errors['dense_sweep'][:120]}")
+
+    # ---- dense sweep with the EXACT phase-mel shared-spectrogram audio
+    # (the route production serving actually dispatches: sweep.py::
+    # dispatch_video_device_audio picks it for every ~30 fps video).
+    # Per-window audio above keeps the strict per-window-mel semantics as
+    # a secondary figure; this is the serving device program, PRIMARY. ----
+    if "phase" in sections and remaining() > 150:
+        try:
+            wd.section("sweep_phase setup", 300)
+            from auformer.ops.phase_mel import phase_mel_table, phase_plan
+            bucket = 512 if on_tpu else 8
+            swp = AvformerSweep(cfg, variables)
+            lf = cfg.label_frame
+            slen = cfg.sample_len_frames
+            frames = jax.device_put(rs.randint(
+                0, 256, (bucket + lf, cfg.image_size, cfg.image_size, 3)
+            ).astype(np.uint8))
+            idx = jax.device_put(np.clip(
+                np.arange(bucket)[:, None]
+                + np.arange(0, lf, cfg.dilation)[None, :], 0,
+                bucket + lf).astype(np.int32))
+            # ~30 fps timestamps past the 5 s shift so every window is an
+            # interior full window (the common case); 60 s of audio in the
+            # production wav_ext layout, generated ON DEVICE (tunnel: big
+            # device_puts can stall minutes)
+            ts_ms = 10_000.0 + np.arange(bucket) * (1000.0 / 30.0)
+            total_samples = 60 * cfg.sample_rate
+            starts_np, nv_np = swp.audio_window_plan(ts_ms, total_samples)
+            pplan = phase_plan(starts_np.astype(np.int64) - slen, nv_np)
+            phases_np, base_np, psel_np = pplan
+            wav_ext = jax.jit(
+                lambda k: jax.random.normal(
+                    k, (total_samples + 2 * slen + 512,), jnp.float32) * 0.1
+            )(jax.random.PRNGKey(2))
+            wav_ext.block_until_ready()
+            st = jax.device_put(starts_np)
+            nv = jax.device_put(nv_np)
+            bs = jax.device_put(base_np)
+            ps = jax.device_put(psel_np)
+            phases = jax.device_put(phases_np)
+
+            # the per-video phase-mel table is recomputed EVERY iteration
+            # (production computes it once per video and amortizes it over
+            # all the video's buckets, so this is conservative); wav_ext is
+            # perturbed inside the audible region so the table cannot be
+            # hoisted out of the loop
+            @jax.jit
+            def run_phase(v, frames, wav_ext, phases, st, nv, bs, ps,
+                          idx, n):
+                def body(i, acc):
+                    f = frames.at[0, 0, 0, 0].set((i % 255).astype(jnp.uint8))
+                    w = wav_ext.at[slen].set(i.astype(jnp.float32) * 1e-6)
+                    pm = phase_mel_table(w, phases)
+                    o = swp.fused_sweep_phase_audio_fn(
+                        v, f, w, pm, st, nv, bs, ps, idx)
+                    return acc + jnp.sum(o.astype(jnp.float32))
+                return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+            rate = _timed_rate(
+                lambda n: run_phase(swp.v, frames, wav_ext, phases, st, nv,
+                                    bs, ps, idx, n),
+                bucket, 2, 32 if on_tpu else 3, wd=wd, label="sweep_phase")
+            out["sweep_phase_clips_per_sec"] = round(rate, 2)
+            out["sections_done"].append("dense_sweep_phase")
+            set_value(rate, "dense_sweep_phase")
+            _progress(f"sweep_phase done: {rate:.0f} clips/s")
+            _emit(out)
+        except Exception as e:
+            errors["sweep_phase"] = repr(e)[:300]
+            _progress(f"sweep_phase failed: {errors['sweep_phase'][:120]}")
 
     # ---- clip-batch path (independent windows, mel frontend included) ----
     if "clip" in sections and remaining() > 120:
@@ -601,7 +673,8 @@ def _probe_tpu(timeout: float = 90) -> bool:
 
 
 _MAX_FIELDS = ("e2e_decode_infer_clips_per_sec", "e2e_cold_clips_per_sec",
-               "smoke_clips_per_sec", "clip_batch_clips_per_sec")
+               "smoke_clips_per_sec", "clip_batch_clips_per_sec",
+               "sweep_phase_clips_per_sec")
 _MIN_FIELDS = ("train_step_ms", "train_step_ms_no_pallas")
 
 
@@ -635,7 +708,8 @@ def _merge(results: list[dict]) -> dict:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--inner", action="store_true")
-    ap.add_argument("--sections", default="smoke,clip,sweep,train,e2e")
+    ap.add_argument("--sections",
+                    default="smoke,clip,sweep,phase,train,e2e")
     ap.add_argument("--no_pallas", action="store_true")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--cap", type=float, default=1500.0)
@@ -666,7 +740,7 @@ def main():
         # cheapest-first ladder; later attempts reuse the compile cache and
         # only run what is still missing
         for name, sections, cap_hint in [
-                ("core", "smoke,clip,sweep", 1000.0),
+                ("core", "smoke,clip,sweep,phase", 1000.0),
                 ("full", None, None),          # fill in what's missing
                 ("refill", None, None),        # one retry: the e2e fetch
                                                # stalls on tunnel moods
@@ -686,6 +760,8 @@ def main():
                     missing.append("clip")
                 if "dense_sweep" not in have.get("sections_done", []):
                     missing.append("sweep")
+                if "dense_sweep_phase" not in have.get("sections_done", []):
+                    missing.append("phase")
                 if have.get("train_step_ms") is None:
                     missing.append("train")
                 e2e_have = have.get("e2e_decode_infer_clips_per_sec")

@@ -56,6 +56,11 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--bucket", type=int, default=512)
     p.add_argument("--iters", type=int, default=8)
+    p.add_argument("--mode", choices=["window", "phase"], default="window",
+                   help="window: per-window mel (strict per-window "
+                        "semantics); phase: the EXACT shared-spectrogram "
+                        "route production serving dispatches "
+                        "(sweep.py::dispatch_video_device_audio)")
     p.add_argument("--trace_dir", default=TRACE_DIR)
     p.add_argument("--gflops-per-clip", type=float, default=7.24,
                    help="fallback analytic GFLOP/clip when the backend's "
@@ -92,8 +97,6 @@ def main(argv=None):
     frames = jax.device_put(rs.randint(
         0, 256, (bucket + lf, cfg.image_size, cfg.image_size, 3)
     ).astype(np.uint8))
-    audio_raw = jax.device_put(
-        (rs.randn(bucket, 441000) * 0.1).astype(np.float32))
     idx = jax.device_put(np.clip(
         np.arange(bucket)[:, None]
         + np.arange(0, lf, cfg.dilation)[None, :], 0,
@@ -101,21 +104,51 @@ def main(argv=None):
 
     # sw.v enters as an ARGUMENT — closing over the weights would embed
     # them as HLO constants (see auformer/sweep.py)
-    @jax.jit
-    def one(v, frames, audio_raw, idx):
-        feats = audio_frontend(audio_raw)
-        return jnp.sum(sw.fused_sweep_fn(v, frames, feats, idx)
-                       .astype(jnp.float32))
+    if args.mode == "phase":
+        from auformer.ops.phase_mel import phase_mel_table, phase_plan
+        slen = cfg.sample_len_frames
+        ts_ms = 10_000.0 + np.arange(bucket) * (1000.0 / 30.0)
+        total_samples = 60 * cfg.sample_rate
+        starts_np, nv_np = sw.audio_window_plan(ts_ms, total_samples)
+        phases_np, base_np, psel_np = phase_plan(
+            starts_np.astype(np.int64) - slen, nv_np)
+        wav_ext = jax.device_put(np.concatenate([
+            np.zeros(slen, np.float32),
+            (rs.randn(total_samples) * 0.1).astype(np.float32),
+            np.zeros(slen + 512, np.float32)]))
+        st, nv = jax.device_put(starts_np), jax.device_put(nv_np)
+        bs, ps = jax.device_put(base_np), jax.device_put(psel_np)
+        phases = jax.device_put(phases_np)
+
+        @jax.jit
+        def one(v, frames, wav_ext, idx):
+            pm = phase_mel_table(wav_ext, phases)
+            return jnp.sum(sw.fused_sweep_phase_audio_fn(
+                v, frames, wav_ext, pm, st, nv, bs, ps, idx)
+                .astype(jnp.float32))
+
+        args_tuple = (sw.v, frames, wav_ext, idx)
+    else:
+        audio_raw = jax.device_put(
+            (rs.randn(bucket, 441000) * 0.1).astype(np.float32))
+
+        @jax.jit
+        def one(v, frames, audio_raw, idx):
+            feats = audio_frontend(audio_raw)
+            return jnp.sum(sw.fused_sweep_fn(v, frames, feats, idx)
+                           .astype(jnp.float32))
+
+        args_tuple = (sw.v, frames, audio_raw, idx)
 
     # warm (compile outside the trace)
-    np.asarray(one(sw.v, frames, audio_raw, idx))
+    np.asarray(one(*args_tuple))
 
     # analytic FLOPs of the traced program (unoptimized-HLO cost analysis;
     # the axon backend returns None from lowered cost_analysis, so fall
     # back to the compiled analysis, then to --gflops-per-clip which
     # defaults to scripts/flops_report.py's number at bucket=512)
     flops_per_call = None
-    lowered = jax.jit(one).lower(sw.v, frames, audio_raw, idx)
+    lowered = jax.jit(one).lower(*args_tuple)
     for get in (lowered.cost_analysis,
                 lambda: lowered.compile().cost_analysis()):
         try:
@@ -135,7 +168,7 @@ def main(argv=None):
     os.makedirs(args.trace_dir, exist_ok=True)
     t0 = time.perf_counter()
     with jax.profiler.trace(args.trace_dir):
-        futs = [one(sw.v, frames, audio_raw, idx) for _ in range(args.iters)]
+        futs = [one(*args_tuple) for _ in range(args.iters)]
         np.asarray(jnp.stack(futs))
     wall = time.perf_counter() - t0
     rate = bucket * args.iters / wall
