@@ -216,6 +216,7 @@ def measure(sections: list[str], use_pallas: bool, cpu_mode: bool,
         "metric": "clips_per_sec_per_chip", "value": 0.0, "unit": "clips/s",
         "vs_baseline": 0.0, "mode": "none",
         "smoke_clips_per_sec": None,
+        "dense_sweep_clips_per_sec": None,
         "sweep_phase_clips_per_sec": None,
         "clip_batch_clips_per_sec": None,
         "e2e_decode_infer_clips_per_sec": None,
@@ -331,6 +332,7 @@ def measure(sections: list[str], use_pallas: bool, cpu_mode: bool,
                 lambda n: run_sweep(sw.v, frames, audio_raw, idx, n),
                 bucket, 2,
                 32 if on_tpu else 3, wd=wd, label="dense_sweep")
+            out["dense_sweep_clips_per_sec"] = round(rate, 2)
             out["sections_done"].append("dense_sweep")
             set_value(rate, "dense_sweep")
             _progress(f"dense_sweep done: {rate:.0f} clips/s")
@@ -674,7 +676,7 @@ def _probe_tpu(timeout: float = 90) -> bool:
 
 _MAX_FIELDS = ("e2e_decode_infer_clips_per_sec", "e2e_cold_clips_per_sec",
                "smoke_clips_per_sec", "clip_batch_clips_per_sec",
-               "sweep_phase_clips_per_sec")
+               "dense_sweep_clips_per_sec", "sweep_phase_clips_per_sec")
 _MIN_FIELDS = ("train_step_ms", "train_step_ms_no_pallas")
 
 
