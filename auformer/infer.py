@@ -38,11 +38,18 @@ def va_to_str(v, a) -> str:
     return f"{v:.3f},{a:.3f}"
 
 
+#: submission dir per task: 'au' matches the reference writer
+#: (test_aff2.py:84), 'expr' matches the dir its postprocess task loop
+#: consumes for expressions (postprocess/postprocess.py:51, lowercased
+#: like the writer's 'au')
+_TASK_DIR = {"AU": "au", "EX": "expr", "VA": "va"}
+
+
 class SubmissionWriter:
     """Per-video txt writers with task headers (test_aff2.py:87-115)."""
 
     def __init__(self, result_path: str, task: str = "AU"):
-        self.dir = os.path.join(result_path, task.lower())
+        self.dir = os.path.join(result_path, _TASK_DIR[task])
         os.makedirs(self.dir, exist_ok=True)
         self.task = task
         self.header = {"AU": AU_HEADER, "VA": VA_HEADER,
@@ -63,6 +70,49 @@ class SubmissionWriter:
         if self._f is not None:
             self._f.close()
             self._f = None
+
+
+class TaskWriters:
+    """Every submission writer one inference run can feed.
+
+    The reference ships ex_to_str/va_to_str but its loop writes AU txts
+    only (test_aff2.py:34-44,113-115), while its postprocess consumes
+    AU/EXPR/VA prediction dirs (postprocess/postprocess.py:51) — the EX/VA
+    producers never existed. Here they do: AU rows are written always
+    (reference behavior); EX rows (argmax over logits[:, 12:19]) and VA
+    rows (tanh(logits[:, 19:21]) at 3 decimals — train.py:136-138
+    semantics) are written when ``task`` requests them and the model emits
+    the columns (the avformer AU sweep emits 12, so AU only)."""
+
+    def __init__(self, result_path: str, task: str, width: int):
+        self.au = SubmissionWriter(result_path, "AU")
+        self.ex = SubmissionWriter(result_path, "EX") \
+            if task in ("EX", "ALL") and width >= 19 else None
+        self.va = SubmissionWriter(result_path, "VA") \
+            if task in ("VA", "ALL") and width >= 21 else None
+
+    def write_rows(self, video_ids, logits: np.ndarray) -> None:
+        """Append an (N, width) logits block; ``video_ids`` is one id for
+        the whole block or a per-row sequence (clip-batched loops)."""
+        if isinstance(video_ids, str):
+            video_ids = [video_ids] * len(logits)
+        round_au = np.round(
+            1.0 / (1.0 + np.exp(-logits[:, :12]))).astype(int)
+        ex_pred = np.argmax(logits[:, 12:19], axis=1) \
+            if self.ex is not None else None
+        va_pred = np.tanh(logits[:, 19:21]) if self.va is not None else None
+        for i, vid in enumerate(video_ids):
+            vid = str(vid)
+            self.au.write(vid, au_to_str(round_au[i]))
+            if self.ex is not None:
+                self.ex.write(vid, ex_to_str(ex_pred[i]))
+            if self.va is not None:
+                self.va.write(vid, va_to_str(*va_pred[i]))
+
+    def close(self) -> None:
+        for w in (self.au, self.ex, self.va):
+            if w is not None:
+                w.close()
 
 
 def make_infer_fn(cfg: Config, model):
@@ -110,7 +160,7 @@ def run_inference(cfg: Config, variables, result_path: str = "results",
     infer = make_infer_fn(cfg, model)
 
     output = np.zeros((len(dataset), 21), np.float32)
-    au_writer = SubmissionWriter(result_path, "AU")
+    writers = TaskWriters(result_path, cfg.task, width=21)
     seen = 0
     for bi, batch in enumerate(loader):
         if max_batches is not None and bi >= max_batches:
@@ -126,12 +176,9 @@ def run_inference(cfg: Config, variables, result_path: str = "results",
         result = np.asarray(infer(variables, x))[:n]
         idxs = batch["Index"]
         output[idxs, :] = result
-        pred_au = 1.0 / (1.0 + np.exp(-result[:, :12]))
-        round_au = np.round(pred_au).astype(int)
-        for row, vid in zip(round_au, batch["video_id"]):
-            au_writer.write(str(vid), au_to_str(row))
+        writers.write_rows(list(batch["video_id"]), result)
         seen += len(idxs)
-    au_writer.close()
+    writers.close()
 
     os.makedirs(result_path, exist_ok=True)
     with open(os.path.join(result_path, "inference.pkl"), "wb") as f:
@@ -177,7 +224,7 @@ def run_inference_sweep(cfg: Config, variables,
 
     test_idx = np.nonzero(dataset.test_ids)[0]
     output = np.zeros((len(dataset), 21), np.float32)
-    au_writer = SubmissionWriter(result_path, "AU")
+    writers = TaskWriters(result_path, cfg.task, width=sweep.out_dim)
 
     if cfg.strict_parity and sweep.needs_audio:
         # reference-exact host audio: per-window host mel features
@@ -191,10 +238,7 @@ def run_inference_sweep(cfg: Config, variables,
                 for i in vid_idx]).astype(np.float32)
             logits = sweep.sweep_video(frames, feats, batch=bucket)
             output[vid_idx, :logits.shape[1]] = logits
-            pred = np.round(
-                1.0 / (1.0 + np.exp(-logits[:, :12]))).astype(int)
-            for row in pred:
-                au_writer.write(video_id, au_to_str(row))
+            writers.write_rows(video_id, logits)
     else:
         from .serve import sweep_stream
         # the process-isolated decode worker pays ~10-30 s startup (child
@@ -204,11 +248,8 @@ def run_inference_sweep(cfg: Config, variables,
                 cfg, variables, dataset=dataset, bucket=bucket,
                 sweep=sweep, decode_worker=use_worker):
             output[vid_idx, :logits.shape[1]] = logits
-            pred = np.round(
-                1.0 / (1.0 + np.exp(-logits[:, :12]))).astype(int)
-            for row in pred:
-                au_writer.write(video_id, au_to_str(row))
-    au_writer.close()
+            writers.write_rows(video_id, logits)
+    writers.close()
 
     os.makedirs(result_path, exist_ok=True)
     with open(os.path.join(result_path, "inference.pkl"), "wb") as f:

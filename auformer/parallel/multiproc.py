@@ -1,0 +1,160 @@
+"""Real multi-process collective execution on one machine.
+
+``jax.distributed.initialize`` over a localhost coordinator gives each
+process its own slice of virtual CPU devices (Gloo collectives between
+them); a global mesh over all of them then exercises the TRUE
+multi-process code paths that single-process tests can only mock:
+
+* ``jax.make_array_from_process_local_data`` — core/mesh.py::shard_batch's
+  multi-process branch assembling each host's local loader rows into the
+  global batch (SURVEY.md §2.2 per-host input sharding);
+* ``multihost_utils.process_allgather`` — train_lib._gather_eval_rows,
+  which keeps every host scoring the identical global eval set so the
+  EarlyStopper decision cannot diverge across hosts.
+
+``worker_main`` is what each spawned process runs (one sharded avformer
+train step + one eval with the gathered rows, results saved to .npz);
+``spawn_workers`` launches N of them from a driver/test process. The
+launcher intentionally runs workers as fresh subprocesses: jax allows one
+backend per process, and the parent typically already holds one.
+"""
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+
+def make_global_table(n_rows: int, n_frames: int, size: int) -> dict:
+    """Deterministic global batch table every process (and the verifying
+    test) derives identically — the multi-host contract is that hosts
+    load DISJOINT rows of one global batch."""
+    rs = np.random.RandomState(0)
+    return {
+        "clip": rs.randint(0, 256, (n_rows, n_frames, size, size, 3)
+                           ).astype(np.uint8),
+        "audio_features": rs.randn(n_rows, 1, 64, 1001).astype(np.float32),
+        "AU": rs.randint(0, 2, (n_rows, 12)).astype(np.float32),
+        "EX": rs.randint(0, 7, (n_rows, 1)).astype(np.int32),
+        "VA": rs.uniform(-1, 1, (n_rows, 2)).astype(np.float32),
+    }
+
+
+def worker_main(port: int, process_id: int, num_processes: int,
+                out_dir: str, local_devices: int = 4) -> None:
+    """One process of the local cluster: init distributed, run one sharded
+    train step + one eval, save (train_loss, gathered rows/labels,
+    local ids) for cross-process and single-process parity checks."""
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={local_devices}").strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    # the axon TPU plugin ignores JAX_PLATFORMS; force through jax.config
+    # before the first device query (same dance as __graft_entry__)
+    jax.config.update("jax_platforms", "cpu")
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__)))),
+                ".cache", "jax_compile"))
+    except Exception:
+        pass
+    jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                               num_processes=num_processes,
+                               process_id=process_id)
+    assert jax.process_count() == num_processes
+
+    from auformer.core.config import Config
+    from auformer.core.mesh import make_mesh, shard_batch
+    from auformer.nn import init_model, loss_suite
+    from auformer.parallel import (create_train_state, make_eval_step,
+                                   make_train_step)
+    from auformer.train_lib import _gather_eval_rows, host_shard
+
+    n_dev = jax.device_count()
+    mesh = make_mesh("data:-1")
+    cfg = Config(model_name="avformer", modality="A;V", task="AU",
+                 n_frames=2, image_size=32, batch_size=n_dev,
+                 compute_dtype="float32", use_pallas=False)
+    model, variables = init_model(cfg)  # seeded: identical on every host
+    suite = loss_suite(model)
+    state = create_train_state(cfg, model, variables)
+    step = make_train_step(cfg, model, suite, mesh)
+    eval_step = make_eval_step(cfg, model, suite, mesh)
+
+    # per-host input feeding: disjoint equal shard of the global id list,
+    # local batch = global/num_hosts (train_lib.host_shard semantics)
+    table = make_global_table(2 * n_dev, cfg.n_frames, cfg.image_size)
+    local_ids, local_bs = host_shard(list(range(2 * n_dev)), n_dev)
+    ids = np.asarray(local_ids[:local_bs])
+    local_batch = {k: v[ids] for k, v in table.items()}
+
+    # the first real make_array_from_process_local_data execution
+    dev_batch = shard_batch(mesh, local_batch)
+    state, metrics = step(state, dev_batch, jax.random.PRNGKey(0))
+    train_loss = float(metrics["loss"])
+
+    out, eloss = eval_step(state.params, state.batch_stats, dev_batch)
+    # the first real process_allgather execution
+    rows, labels = _gather_eval_rows(out, local_batch)
+    from jax.experimental import multihost_utils
+    all_ids = multihost_utils.process_allgather(ids, tiled=True)
+
+    os.makedirs(out_dir, exist_ok=True)
+    np.savez(os.path.join(out_dir, f"p{process_id}.npz"),
+             train_loss=train_loss, eval_loss=float(eloss),
+             rows=np.asarray(rows), au=np.asarray(labels["AU"]),
+             ids=ids, all_ids=all_ids)
+    print(f"multiproc worker {process_id}/{num_processes}: "
+          f"procs={jax.process_count()} devices={n_dev} "
+          f"train_loss={train_loss:.4f} rows={np.asarray(rows).shape}",
+          flush=True)
+
+
+def spawn_workers(out_dir: str, num_processes: int = 2,
+                  local_devices: int = 4, timeout: float = 900,
+                  port: int | None = None) -> list[str]:
+    """Launch the local cluster; returns each worker's combined output.
+    Raises on any nonzero exit (with that worker's tail)."""
+    import socket
+
+    if port is None:
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)  # worker sets its own
+    repo = os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "auformer.parallel.multiproc",
+             str(port), str(i), str(num_processes), out_dir,
+             str(local_devices)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd=repo)
+        for i in range(num_processes)]
+    outs = []
+    try:
+        for i, p in enumerate(procs):
+            out, _ = p.communicate(timeout=timeout)
+            outs.append(out)
+            if p.returncode != 0:
+                raise RuntimeError(
+                    f"multiproc worker {i} rc={p.returncode}:\n"
+                    + out[-2000:])
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    return outs
+
+
+if __name__ == "__main__":
+    worker_main(port=int(sys.argv[1]), process_id=int(sys.argv[2]),
+                num_processes=int(sys.argv[3]), out_dir=sys.argv[4],
+                local_devices=int(sys.argv[5]) if len(sys.argv) > 5 else 4)

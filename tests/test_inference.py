@@ -81,6 +81,69 @@ def test_to_str_formats():
     assert va_to_str(-0.024, 0.279) == "-0.024,0.279"
 
 
+def test_three_task_submission_tree(cfg, tmp_path):
+    """task=ALL produces au + expr + va txts from ONE inference run —
+    the producers the reference never wired even though its postprocess
+    task loop consumes all three dirs (postprocess/postprocess.py:51,
+    test_aff2.py:34-44) — then expand_predictions densifies all three."""
+    import dataclasses
+
+    from auformer.infer import run_inference_sweep
+    from auformer.postprocess import expand_predictions
+
+    acfg = dataclasses.replace(cfg, task="ALL")
+    model, variables = init_model(acfg)
+    result_path = str(tmp_path / "results")
+    out = run_inference_sweep(acfg, variables, result_path=result_path)
+
+    expect = {"au": ("AU1,", 13), "expr": ("Neutral,", 2), "va": ("valence", 3)}
+    for d, (head, ncols) in expect.items():
+        txt = os.path.join(result_path, d, "vid003.txt")
+        assert os.path.isfile(txt), d
+        lines = open(txt).read().strip().split("\n")
+        assert lines[0].startswith(head)
+        assert len(lines) == 31  # header + 30 frames
+        assert all(len(l.split(",")) in (1, ncols - 1, 12) for l in lines[1:])
+    # row semantics: EX = argmax(12:19), VA = tanh(19:21) at 3 decimals
+    test_rows = out[90:]
+    ex_lines = open(os.path.join(
+        result_path, "expr", "vid003.txt")).read().strip().split("\n")[1:]
+    assert [int(l) for l in ex_lines] == \
+        list(np.argmax(test_rows[:, 12:19], axis=1))
+    va_lines = open(os.path.join(
+        result_path, "va", "vid003.txt")).read().strip().split("\n")[1:]
+    v0, a0 = (float(x) for x in va_lines[0].split(","))
+    assert abs(v0 - np.tanh(test_rows[0, 19])) < 5e-4
+    assert abs(a0 - np.tanh(test_rows[0, 20])) < 5e-4
+
+    # the full 3-task postprocess consumes the tree this run produced
+    vid_frame_counts = {"vid003": 35}
+    frames_dir = tmp_path / "aligned" / "vid003"
+    frames_dir.mkdir(parents=True)
+    for i in range(1, 31):
+        (frames_dir / f"{i:05d}.jpg").touch()
+    expand_predictions(result_path, str(tmp_path / "aligned"),
+                       vid_frame_counts, out_dir=str(tmp_path / "dense"),
+                       tasks=("au", "expr", "va"))
+    for d in ("au", "expr", "va"):
+        lines = (tmp_path / "dense" / d / "vid003.txt").read_text() \
+            .strip().split("\n")
+        assert len(lines) == 36  # header + 35 expanded frames
+
+
+def test_clip_batched_three_task_writers(cfg, tmp_path):
+    """run_inference (clip-batched path) honors task=ALL too."""
+    import dataclasses
+
+    acfg = dataclasses.replace(cfg, task="ALL")
+    model, variables = init_model(acfg)
+    result_path = str(tmp_path / "results")
+    run_inference(acfg, variables, result_path=result_path, max_batches=1)
+    for d in ("au", "expr", "va"):
+        files = os.listdir(os.path.join(result_path, d))
+        assert files, d
+
+
 def test_expand_predictions_end_to_end(tmp_path):
     """Full postprocess flow: sparse per-detected-frame txt -> dense
     full-video txt (postprocess.py:51-89)."""
