@@ -69,25 +69,28 @@ def _basis_split() -> np.ndarray:
     return np.concatenate([b[:HOP_LENGTH], b[HOP_LENGTH:]], axis=1)
 
 
-def phase_mel_table(wav_ext: jax.Array, phases: jax.Array,
-                    n_mels: int = N_MELS) -> jax.Array:
-    """(P, T_g, n_mels) POWER mel of the P phase-shifted global grids.
+def phase_mel_table_span(wav_buf: jax.Array, phases: jax.Array,
+                         pre: int, t_g: int,
+                         n_mels: int = N_MELS) -> jax.Array:
+    """(P, t_g, n_mels) POWER mel of the P phase-shifted global grids over
+    an arbitrary buffer layout [zeros(pre) | content | zeros(tail)].
 
-    wav_ext: [zeros(441000) | wav | zeros] device buffer (sweep.py layout).
-    phases: (P,) int32 offsets mod 441 (unpadded coords). Global frame g of
-    phase p covers unpadded samples [p + (g-1)*441, p + (g+1)*441); row 0
-    of each table reads the zero prefix and is never indexed by windows
-    (interior indices are >= base+1 >= 1).
+    ``pre``/``t_g`` are trace-time constants: the grid anchors at buffer
+    position ``pre`` (= unpadded coordinate 0), so global frame g of phase
+    p covers buffer samples [pre + p + (g-1)*441, pre + p + (g+1)*441).
+    Requires pre >= 441 and tail >= 1764 so no slice clamps. Row 0 of each
+    table reads into the prefix and is never indexed by windows (interior
+    indices are >= base+1 >= 1). The packed cross-video serving buffers
+    (auformer/packed.py) use this with pre=441; the per-video layout
+    wraps it below.
     """
-    slen = 441000
-    t_g = (wav_ext.shape[-1] - 2 * slen - 512) // HOP_LENGTH + 2
     basis = jnp.asarray(_basis_split())
     fb = jnp.asarray(mel_filterbank(N_FFT // 2 + 1, 0.0, None, n_mels))
     n_freqs = N_FFT // 2 + 1
 
     def one(p):
         rows = jax.lax.dynamic_slice(
-            wav_ext, (slen + p - HOP_LENGTH,),
+            wav_buf, (pre + p - HOP_LENGTH,),
             ((t_g + 1) * HOP_LENGTH,)).reshape(t_g + 1, HOP_LENGTH)
         r = jax.lax.dot_general(rows, basis, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
@@ -104,6 +107,16 @@ def phase_mel_table(wav_ext: jax.Array, phases: jax.Array,
     # the round-3 phase trace); unrolled, XLA emits P independent
     # slice -> matmul chains it can schedule in parallel
     return jnp.stack([one(phases[i]) for i in range(phases.shape[0])])
+
+
+def phase_mel_table(wav_ext: jax.Array, phases: jax.Array,
+                    n_mels: int = N_MELS) -> jax.Array:
+    """(P, T_g, n_mels) POWER mel for the per-video sweep layout
+    wav_ext = [zeros(441000) | wav | zeros(441000 + 512)]."""
+    slen = 441000
+    t_g = (wav_ext.shape[-1] - 2 * slen - 512) // HOP_LENGTH + 2
+    return phase_mel_table_span(wav_ext, phases, pre=slen, t_g=t_g,
+                                n_mels=n_mels)
 
 
 def _edge_frames(wav_ext: jax.Array, starts: jax.Array, n_valid: jax.Array,

@@ -135,12 +135,41 @@ def _decode_worker_main(conn, cfg: Config) -> None:
     test_idx = np.nonzero(ds.test_ids)[0]
     audio_dir = getattr(ds, "audio_dir", cfg.root)
     h = w = cfg.image_size
+    arena = None  # mmap'd shared frame ring (packed pipeline)
     conn.send("ready")  # startup handshake: imports + dataset ctor done
     while True:
-        video_nr = conn.recv()
-        if video_nr is None:
+        req = conn.recv()
+        if req is None:
             conn.close()
             return
+        if isinstance(req, tuple) and req and req[0] == "arena":
+            # attach the parent's frame ring: a plain mmap'd file (under
+            # /dev/shm when available) — no multiprocessing.shared_memory,
+            # whose child-side resource tracker unlinks attached segments
+            _tag, path, cap, ah, aw = req
+            arena = np.memmap(path, np.uint8, mode="r+",
+                              shape=(cap, ah, aw, 3))
+            conn.send("arena_ok")
+            continue
+        if isinstance(req, tuple) and req and req[0] == "slice":
+            # decode rows [a, b) of one video DIRECTLY into the shared
+            # ring at `base` — frames cross the process boundary zero-copy
+            # (the whole-video pipe reply below pays a pickle+pipe copy
+            # per 49 MB video; measured as a main dispatch-thread cost in
+            # the round-4 e2e breakdown)
+            _tag, video_nr, a, b, base, want_wav = req
+            t0 = _time.perf_counter()
+            vid_idx = test_idx[ds.video_db_nr[test_idx] == video_nr]
+            rows = vid_idx[a:b]
+            arena[base:base + len(rows)] = \
+                decode_video_frames(ds, rows, h, w)
+            wav = None
+            if want_wav:
+                video_id = os.path.dirname(ds.image_path[vid_idx[0]])
+                wav = read_video_wav(audio_dir, video_id)
+            conn.send((wav, _time.perf_counter() - t0))
+            continue
+        video_nr = req
         t0 = _time.perf_counter()
         vid_idx = test_idx[ds.video_db_nr[test_idx] == video_nr]
         video_id = os.path.dirname(ds.image_path[vid_idx[0]])
@@ -188,6 +217,27 @@ class DecodeWorker:
         self._conn.send(video_nr)
 
     def result(self):
+        return self._conn.recv()
+
+    # -- packed-pipeline slice protocol (auformer/packed.py) ----------------
+    def attach_arena(self, arena) -> bool:
+        """Point the worker at a FrameArena backed by an mmap'd file;
+        returns False when the arena has no shareable backing (the caller
+        then decodes through its thread fallback)."""
+        path = getattr(arena, "mmap_path", None)
+        if path is None:
+            return False
+        cap, h, w = arena.buf.shape[0], arena.buf.shape[1], arena.buf.shape[2]
+        self._conn.send(("arena", path, cap, h, w))
+        return self._conn.recv() == "arena_ok"
+
+    def request_slice(self, video_nr, a: int, b: int, base: int,
+                      want_wav: bool) -> None:
+        self._conn.send(("slice", video_nr, int(a), int(b), int(base),
+                         bool(want_wav)))
+
+    def slice_result(self):
+        """(wav or None, decode_seconds) for the oldest in-flight slice."""
         return self._conn.recv()
 
     def close(self) -> None:
@@ -394,13 +444,19 @@ def sweep_serve_benchmark(cfg: Config, variables, dataset=None,
                           bucket: int | None = None,
                           max_clips: int | None = None,
                           warmup: bool = True, sweep=None,
-                          decode_worker=None) -> dict:
+                          decode_worker=None, packed: bool = False) -> dict:
     """End-to-end decode->FUSED inference clips/s via :func:`sweep_stream`
     (BASELINE.md throughput row: includes host store reads + JPEG decode +
     wav read). Returns clip counts + rate, plus the ``sweep`` executor and
     ``decode_worker`` for reuse across steady-state passes (callers that
     don't reuse the worker should ``.close()`` it — a daemon process
     either way, so it can't outlive the interpreter).
+
+    ``packed=True`` drives the cross-video packed-bucket pipeline
+    (auformer/packed.py) instead of the per-video route: one device
+    execution per fixed-size bucket regardless of video boundaries, with
+    the phase-mel tables fused inside the bucket program — the round-4
+    answer to the per-video tunnel dispatch/fetch overhead.
 
     ``warmup=True`` compiles the fused sweep program on dummy zeros BEFORE
     the clock starts — consistent with the other bench sections, which all
@@ -454,9 +510,13 @@ def sweep_serve_benchmark(cfg: Config, variables, dataset=None,
         except Exception:
             decode_worker = False  # don't retry inside the clock
 
+    stream_fn = sweep_stream
+    if packed:
+        from .packed import packed_sweep_stream
+        stream_fn = packed_sweep_stream
     stats: dict = {}
     t0 = time.perf_counter()
-    for _vid_idx, _video_id, _logits in sweep_stream(
+    for _vid_idx, _video_id, _logits in stream_fn(
             cfg, variables, dataset=dataset, bucket=bucket,
             max_clips=max_clips, sweep=sweep, decode_worker=decode_worker,
             stats=stats):

@@ -402,6 +402,38 @@ class AvformerSweep(SweepBase):
 
         self.phase_mel_table_fn = jax.jit(_phase_mel_table)
 
+        def fused_sweep_packed(v, frames_u8, wav_buf, phases, starts,
+                               n_valid, base, phase_sel, idx):
+            """Cross-video PACKED bucket: one device program per fixed-size
+            bucket of clips drawn from SEVERAL videos (auformer/packed.py
+            assembles the payloads). The phase-mel tables are computed
+            INSIDE the program from the bucket's packed wav buffer — the
+            table matmul is ~1-3 ms while a separate per-video table
+            execution costs ~90 ms of tunnel overhead (round-4 probe), so
+            fusing it deletes one execution per video from the serving
+            critical path.
+
+            wav_buf layout: [zeros(PACK_PRE) | per-video wav segments at
+            441-aligned offsets | zeros(PACK_TAIL)] (packed.py); starts/
+            base are buffer/grid coords in that layout, phases the union
+            of the packed videos' hop-grid phases.
+            """
+            from .ops.phase_mel import (phase_mel_table_span,
+                                        phase_window_features)
+            from .packed import PACK_PRE, PACK_TAIL
+            t_g = (wav_buf.shape[-1] - PACK_PRE - PACK_TAIL) // 441 + 2
+            pm = phase_mel_table_span(wav_buf, phases, pre=PACK_PRE,
+                                      t_g=t_g, n_mels=cfg.n_mels)
+            feats = phase_window_features(wav_buf, pm, starts, n_valid,
+                                          base, phase_sel,
+                                          out_frames=cfg.mel_frames)
+            return _fused_sweep(v, frames_u8, feats, idx)
+
+        self.fused_sweep_packed_fn = jax.jit(fused_sweep_packed)
+        self.fused_sweep_packed = \
+            lambda f, w, ph, s, nv, b, ps, i: self.fused_sweep_packed_fn(
+                self.v, f, w, ph, s, nv, b, ps, i)
+
     def shared_audio_plan(self, timestamps_ms: np.ndarray,
                           total_samples: int) -> np.ndarray:
         """Column-gather plan for shared-spectrogram audio.
@@ -451,19 +483,17 @@ class AvformerSweep(SweepBase):
             out[s:s + cur] = logits[:cur]
         return out
 
-    def audio_window_plan(self, timestamps_ms: np.ndarray,
-                          total_samples: int
-                          ) -> tuple[np.ndarray, np.ndarray]:
-        """(starts, n_valid) int32 arrays for fused_sweep_device_audio.
+    def audio_window_offsets(self, timestamps_ms: np.ndarray,
+                             total_samples: int
+                             ) -> tuple[np.ndarray, np.ndarray]:
+        """(clamped offsets, n_valid) in UNPADDED video-wav coordinates.
 
         Window math mirrors the reference's torchaudio.load(offset,
         num_frames) call (aff2compdataset.py:218-226 via
         audio_host.audio_window_params), with the actual-file-length clamp
-        load_wav applies. Windows are LEFT-ALIGNED: in the padded
-        [zeros(441000) | wav | zeros] device buffer a window starts at
-        441000 + clamped offset, so its first valid sample sits at buffer
-        position 0 of the slice (the STFT grid anchor).
-        """
+        load_wav applies. Layout-agnostic: callers add their buffer's
+        prefix/segment offset to build device ``starts`` (the per-video
+        plan below, the packed assembler in auformer/packed.py)."""
         from .ops import audio_host
         cfg = self.cfg
         offsets, want = audio_host.audio_window_params_batch(
@@ -472,7 +502,20 @@ class AvformerSweep(SweepBase):
         off_c = np.minimum(offsets, total_samples)
         n_valid = np.maximum(
             np.minimum(want, total_samples - off_c), 0).astype(np.int32)
-        starts = (cfg.sample_len_frames + off_c).astype(np.int32)
+        return off_c.astype(np.int64), n_valid
+
+    def audio_window_plan(self, timestamps_ms: np.ndarray,
+                          total_samples: int
+                          ) -> tuple[np.ndarray, np.ndarray]:
+        """(starts, n_valid) int32 arrays for fused_sweep_device_audio.
+
+        Windows are LEFT-ALIGNED: in the padded [zeros(441000) | wav |
+        zeros] device buffer a window starts at 441000 + clamped offset,
+        so its first valid sample sits at buffer position 0 of the slice
+        (the STFT grid anchor)."""
+        off_c, n_valid = self.audio_window_offsets(timestamps_ms,
+                                                   total_samples)
+        starts = (self.cfg.sample_len_frames + off_c).astype(np.int32)
         return starts, n_valid
 
     def dispatch_video_device_audio(self, frames_u8: np.ndarray,

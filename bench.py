@@ -69,6 +69,13 @@ E2E_MAX_CLIPS = 10240  # whole fixture: pipeline amortizes per-video stalls
 
 _T0 = time.monotonic()
 
+# section -> how much of the measurement ladder it covers; the merged
+# headline must never silently degrade to a cheaper mode when a pricier
+# section succeeded in ANY attempt (ADVICE r3: _merge ranked by raw value
+# alone, so a failed-phase attempt could out-rank a dense_sweep_phase one)
+_MODE_RANK = {"none": 0, "smoke": 1, "clip_batch": 2, "dense_sweep": 3,
+              "dense_sweep_phase": 4}
+
 
 def _progress(msg: str) -> None:
     print(f"[bench +{time.monotonic() - _T0:.0f}s] {msg}", file=sys.stderr,
@@ -228,9 +235,6 @@ def measure(sections: list[str], use_pallas: bool, cpu_mode: bool,
     }
     errors = {}
 
-    _MODE_RANK = {"none": 0, "smoke": 1, "clip_batch": 2, "dense_sweep": 3,
-                  "dense_sweep_phase": 4}
-
     def set_value(rate: float, mode: str):
         if _MODE_RANK[mode] > _MODE_RANK[out["mode"]]:
             out["value"] = round(rate, 2)
@@ -369,10 +373,20 @@ def measure(sections: list[str], use_pallas: bool, cpu_mode: bool,
             total_samples = 60 * cfg.sample_rate
             starts_np, nv_np = swp.audio_window_plan(ts_ms, total_samples)
             pplan = phase_plan(starts_np.astype(np.int64) - slen, nv_np)
+            if pplan is None:
+                # >MAX_PHASES hop phases (jittery synthetic timestamps):
+                # production falls back to the per-window route, which the
+                # 'sweep' section already measures — record a clean skip
+                raise RuntimeError(
+                    "phase plan fallback: timestamps need more than "
+                    "MAX_PHASES grids; per-window route covered by 'sweep'")
             phases_np, base_np, psel_np = pplan
+            # noise only inside the audible region: the production wav_ext
+            # contract is [zeros(slen) | wav | zeros(slen+512)] (ADVICE r3)
             wav_ext = jax.jit(
-                lambda k: jax.random.normal(
-                    k, (total_samples + 2 * slen + 512,), jnp.float32) * 0.1
+                lambda k: jnp.pad(
+                    jax.random.normal(k, (total_samples,), jnp.float32)
+                    * 0.1, (slen, slen + 512))
             )(jax.random.PRNGKey(2))
             wav_ext.block_until_ready()
             st = jax.device_put(starts_np)
@@ -521,25 +535,52 @@ def measure(sections: list[str], use_pallas: bool, cpu_mode: bool,
             # past the 195 clips/s BASELINE gate.
             steady = None
             worker = cold.get("decode_worker")
+            pass_rates = []
+            packed = True  # cross-video packed buckets (auformer/packed.py)
             for _pass in range(4):
-                s = sweep_serve_benchmark(e2e_cfg, variables, dataset=ds,
-                                          warmup=False,
-                                          max_clips=E2E_MAX_CLIPS,
-                                          sweep=cold["sweep"],
-                                          decode_worker=worker)
+                try:
+                    s = sweep_serve_benchmark(e2e_cfg, variables,
+                                              dataset=ds, warmup=False,
+                                              max_clips=E2E_MAX_CLIPS,
+                                              sweep=cold["sweep"],
+                                              decode_worker=worker,
+                                              packed=packed)
+                except Exception as pe:
+                    if not packed:
+                        raise
+                    # packed route failed: record and finish the section on
+                    # the per-video route rather than losing the field. The
+                    # worker pipe may hold unanswered slice requests —
+                    # replace it rather than inherit a desynced protocol
+                    errors["e2e_packed"] = repr(pe)[:300]
+                    packed = False
+                    if worker:
+                        try:
+                            worker.close()
+                        except Exception:
+                            pass
+                    worker = None
+                    continue
                 worker = s.get("decode_worker")
-                if steady is None or s["clips_per_sec"] > \
-                        steady["clips_per_sec"]:
+                pass_rates.append(round(s["clips_per_sec"], 2))
+                prev_best = steady["clips_per_sec"] if steady else 0.0
+                if steady is None or s["clips_per_sec"] > prev_best:
                     steady = s
-                # post adaptive-bucket steady state is 740-990 clips/s on
-                # a good tunnel mood (e2e_bench.py, 2026-08-18); passes
-                # cost ~7-15 s so keep trying until clearly past it
-                if steady["clips_per_sec"] >= 850 or remaining() < 90:
+                # dispersion-based stopping (VERDICT r3 weak-2: no clips/s
+                # literals tied to current hardware performance): passes
+                # are identical workloads whose spread is tunnel-fetch
+                # mood, so stop once a pass fails to beat the running best
+                # by >10% — the best has stabilized; a genuine regression
+                # then reports as one instead of burning every pass
+                if (_pass > 0 and s["clips_per_sec"] < 1.10 * prev_best) \
+                        or remaining() < 90:
                     break
+            out["e2e_pass_rates"] = pass_rates
             if worker is not None:
                 worker.close()
             out["e2e_decode_infer_clips_per_sec"] = round(
                 steady["clips_per_sec"], 2)
+            out["e2e_packed"] = packed
             out["e2e_clips"] = steady["clips"]
             out["sections_done"].append("e2e")
             _progress(f"e2e done: cold {cold['clips_per_sec']:.0f}, "
@@ -684,8 +725,13 @@ def _merge(results: list[dict]) -> dict:
     """Best-value result wins; null fields are filled from the others.
     Per-section throughputs take the best across attempts (and step times
     the min): attempts are identical steady-state workloads whose spread is
-    tunnel-fetch jitter, so best-of-N is the honest steady-state figure."""
-    primary = max(results, key=lambda r: r.get("value") or 0.0)
+    tunnel-fetch jitter, so best-of-N is the honest steady-state figure.
+
+    The primary result ranks by (mode rank, value): a cheaper-mode attempt
+    with a higher raw rate (e.g. a smoke-only rescue) must not out-rank a
+    dense_sweep_phase attempt as the headline (ADVICE r3)."""
+    primary = max(results, key=lambda r: (
+        _MODE_RANK.get(r.get("mode", "none"), 0), r.get("value") or 0.0))
     out = dict(primary)
     for r in results:
         for k, v in r.items():
@@ -767,10 +813,17 @@ def main():
                 if have.get("train_step_ms") is None:
                     missing.append("train")
                 e2e_have = have.get("e2e_decode_infer_clips_per_sec")
-                # below 650: landed on a bad tunnel mood (steady is
-                # 740-990 post adaptive buckets) — retry; _merge keeps
-                # the best steady-state across attempts
-                if e2e_have is None or e2e_have < 650:
+                # retry only a MISSING or clearly-unstable e2e section:
+                # instability = the best pass never stabilized (every pass
+                # kept improving >10%, so the in-attempt stopping rule hit
+                # the pass cap still rising). No absolute clips/s gate —
+                # thresholds tied to current hardware perf made a genuine
+                # regression retry itself into the best tunnel mood and
+                # report as "fine" (VERDICT r3 weak-2).
+                rates = have.get("e2e_pass_rates") or []
+                unstable = len(rates) >= 2 and \
+                    rates[-1] > 1.10 * max(rates[:-1])
+                if e2e_have is None or unstable:
                     missing.append("e2e")
                 if not missing:
                     continue
