@@ -65,6 +65,10 @@ class Config:
     strict_parity: bool = False           # f32 everywhere for bit-faithful checks
     profile_dir: str = ""                 # jax.profiler trace dir ("" = off)
     device_augment: bool = False          # AutoAugment on device (XLA) instead of host PIL
+    device_audio: bool = False            # mel frontend on device inside the train/eval
+                                          # step (host ships raw windows; kills the
+                                          # ~6 ms/clip host STFT the reference pays in
+                                          # __getitem__, aff2compdataset.py:227-238)
     mel_bf16: bool = False                # opt-in bf16 DFT conv in the mel frontend
                                           # (~0.05 dB error, ~4x MXU rate; NOT bit-faithful)
 
@@ -182,6 +186,7 @@ def build_parser() -> argparse.ArgumentParser:
     tpu.add_argument("--strict_parity", action="store_true")
     tpu.add_argument("--profile_dir", type=str, default="")
     tpu.add_argument("--device_augment", action="store_true")
+    tpu.add_argument("--device_audio", action="store_true")
     tpu.add_argument("--mel_bf16", action="store_true")
     return p
 

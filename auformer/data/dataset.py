@@ -103,7 +103,7 @@ class Aff2CompDataset:
         self.sample_len_frames = cfg.sample_len_frames
         self.audio_shift_samples = cfg.audio_shift_samples
         self.n_mels = cfg.n_mels
-        self.audio_on_device = False
+        self.audio_on_device = bool(getattr(cfg, "device_audio", False))
 
         self._load_split()
 
@@ -315,6 +315,34 @@ class Aff2CompDataset:
             audio, self.sample_len_secs, self.cfg.window_stride,
             self.sample_len_frames, self.n_mels)
 
+    def get_audio_window(self, video_id: str, index: int
+                         ) -> tuple[np.ndarray, int]:
+        """Raw audio window for the on-device mel frontend
+        (``cfg.device_audio``): (1, sample_len_frames) float32 with the
+        true samples LEFT-aligned (zeros after) plus the valid sample
+        count. The train/eval step reconstructs the reference's
+        right-aligned feature layout on device (parallel/step.prep_batch
+        -> ops.audio.reflect_end_patch + audio_frontend(left_aligned)),
+        replacing the ~6 ms/clip host STFT the reference pays per sample
+        (aff2compdataset.py:227-238)."""
+        audio_file = os.path.join(self.video_dir, video_id + ".wav")
+        offset, n = audio_host.audio_window_params(
+            self.time_stamps[index], self.sample_rate, self.sample_len_frames,
+            self.audio_shift_samples)
+        try:
+            audio, _sr = audio_host.load_wav(audio_file, offset=offset,
+                                             num_samples=n)
+            if audio.shape[0] > 1:
+                audio = audio[:1]
+        except (OSError, EOFError, ValueError):
+            audio = np.zeros((1, self.sample_len_frames), np.float32)
+        if audio.shape[1] == 0:
+            audio = np.zeros((1, self.sample_len_frames), np.float32)
+        n_valid = audio.shape[1]
+        buf = np.zeros((1, self.sample_len_frames), np.float32)
+        buf[:, :n_valid] = audio
+        return buf, n_valid
+
     def __getitem__(self, index: int) -> dict:
         data = {"Index": index}
         video_id = os.path.dirname(self.image_path[index])
@@ -337,9 +365,14 @@ class Aff2CompDataset:
         data["clip"] = clip  # uint8 (T,H,W,C); device normalizes
 
         if self.use_audio and "audio_features" in self.modes:
-            feats, audio = self.get_audio_feature(video_id, index)
-            data["audio_features"] = feats
-            data["audio"] = audio
+            if self.audio_on_device:
+                audio, n_valid = self.get_audio_window(video_id, index)
+                data["audio"] = audio
+                data["audio_len"] = np.int32(n_valid)
+            else:
+                feats, audio = self.get_audio_feature(video_id, index)
+                data["audio_features"] = feats
+                data["audio"] = audio
         return data
 
     def __len__(self):

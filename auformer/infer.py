@@ -19,7 +19,6 @@ from .core.config import Config
 from .data import DataLoader, SubsetSequentialSampler
 from .data.testset import Aff2TestDataset
 from .nn import build_model
-from .ops.preprocess import normalize_clip
 
 AU_HEADER = "AU1,AU2,AU4,AU6,AU7,AU10,AU12,AU15,AU23,AU24,AU25,AU26"
 VA_HEADER = "valence,arousal"
@@ -116,11 +115,18 @@ class TaskWriters:
 
 
 def make_infer_fn(cfg: Config, model):
+    from .parallel.step import prep_batch
+
+    device_audio = bool(getattr(cfg, "device_audio", False))
+    modes = set(getattr(model, "modes", ()))
+
     @jax.jit
     def infer(variables, x):
-        xx = dict(x)
-        if "clip" in xx and xx["clip"].dtype == np.uint8:
-            xx["clip"] = normalize_clip(xx["clip"])
+        # prep_batch covers /255+normalize and, under --device_audio, the
+        # on-device mel frontend from the loader's raw windows
+        xx = prep_batch(x, train=False, device_audio=device_audio)
+        if modes:
+            xx = {k: v for k, v in xx.items() if k in modes}
         out = model.apply(variables, xx, train=False)
         return out.astype(np.float32)
     return infer
@@ -165,7 +171,11 @@ def run_inference(cfg: Config, variables, result_path: str = "results",
     for bi, batch in enumerate(loader):
         if max_batches is not None and bi >= max_batches:
             break
-        x = {k: batch[k] for k in model.modes if k in batch}
+        want = set(model.modes)
+        if getattr(cfg, "device_audio", False):
+            # the loader ships raw windows; the jitted infer computes mels
+            want |= {"audio", "audio_len"}
+        x = {k: batch[k] for k in want if k in batch}
         n = len(batch["Index"])
         if n < batch_size:
             # pad the final partial batch to the static shape (one compiled

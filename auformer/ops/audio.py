@@ -321,3 +321,36 @@ def audio_frontend(audio: jax.Array,
     db = amplitude_to_db(mel)
     out = normalize_spec(db)
     return out[:, None, :, :]
+
+
+def reflect_end_patch(audio: jax.Array, n_valid: jax.Array) -> jax.Array:
+    """Patch torchaudio's center-pad END reflection into left-aligned windows.
+
+    ``audio``: (B, L) float32, each row a window whose ``n_valid[b]`` true
+    samples sit at the START of the buffer with zeros after. torchaudio's
+    STFT (center=True) reflect-pads the *signal* end — position
+    ``n_valid + j`` takes sample ``n_valid - 2 - j`` (no edge repeat) — so
+    for a short window the mel frames near the signal end see reflected
+    tail, not zeros. This writes ``reverse(signal tail)[1:513]`` right
+    after the last valid sample, making :func:`audio_frontend`
+    (``left_aligned=True``) EXACT vs the per-window host path
+    (ops/audio_host.reference_audio_features) for all windows >= 513
+    samples; shorter ones (< 12 ms, where torchaudio's own reflect pad
+    raises) stay zero after the signal. Same construction as the serving
+    sweep's per-window slice path (sweep.py::fused_sweep_device_audio);
+    reference semantics: aff2compdataset.py:227-238 + torch.stft center pad.
+
+    Full windows (``n_valid == L``) are returned unchanged: the patch lands
+    entirely in the scratch padding that is cropped away, and the
+    frontend's own reflect pad at the buffer edge IS the signal edge.
+    """
+    b, length = audio.shape
+    w = jnp.pad(audio, ((0, 0), (0, 512)))
+
+    def one(row, nv):
+        r = jax.lax.dynamic_slice(
+            row, (jnp.maximum(nv - 513, 0),), (513,))[::-1]
+        patched = jax.lax.dynamic_update_slice(row, r[1:513], (nv,))
+        return jnp.where(nv >= 513, patched, row)[:length]
+
+    return jax.vmap(one)(w, n_valid.astype(jnp.int32))

@@ -113,6 +113,16 @@ def worker_main(port: int, process_id: int, num_processes: int,
           f"procs={jax.process_count()} devices={n_dev} "
           f"train_loss={train_loss:.4f} rows={np.asarray(rows).shape}",
           flush=True)
+    # teardown: every result is already written and the allgather above
+    # synchronized the workers, so sync once more and exit WITHOUT the
+    # atexit jax.distributed shutdown barrier — on the 1-CPU box a
+    # worker's interpreter teardown can lag past the coordination
+    # service's shutdown-barrier deadline under load, failing the whole
+    # run (DEADLINE_EXCEEDED "Shutdown barrier" flake) after the test
+    # already succeeded.
+    multihost_utils.sync_global_devices("auformer-multiproc-done")
+    sys.stdout.flush()
+    os._exit(0)
 
 
 def spawn_workers(out_dir: str, num_processes: int = 2,

@@ -107,11 +107,24 @@ def create_train_state(cfg: Config, model, variables) -> TrainState:
 
 
 def prep_batch(batch: dict, train: bool, flip_rng=None,
-               device_augment: bool = False, aug_rng=None) -> dict:
+               device_augment: bool = False, aug_rng=None,
+               device_audio: bool = False) -> dict:
     """Device-side preprocessing: optional on-device AutoAugment (uint8
     domain), then /255+normalize; optional train-time whole-clip flip (eval
-    never augments)."""
+    never augments); optional on-device mel frontend (``device_audio``:
+    the loader ships raw left-aligned windows + valid lengths instead of
+    host-computed log-mels — ops.audio.reflect_end_patch + left-aligned
+    audio_frontend reproduce the reference's per-window features exactly
+    for windows >= 513 samples)."""
     x = dict(batch)
+    if device_audio and "audio_features" not in x and "audio" in x \
+            and "audio_len" in x:
+        from ..ops.audio import HOP_LENGTH, audio_frontend, reflect_end_patch
+        raw = x["audio"][:, 0, :].astype(jnp.float32)
+        n_valid = x["audio_len"].reshape(-1).astype(jnp.int32)
+        raw = reflect_end_patch(raw, n_valid)
+        x["audio_features"] = audio_frontend(
+            raw, feature_len=1 + n_valid // HOP_LENGTH, left_aligned=True)
     clip = x.get("clip")
     if clip is not None and clip.dtype == jnp.uint8:
         if train and device_augment and aug_rng is not None \
@@ -159,7 +172,8 @@ def make_train_step(cfg: Config, model, suite: LossSuite,
     def step(state: TrainState, batch: dict, rng: jax.Array):
         flip_rng, drop_rng, aug_rng = jax.random.split(rng, 3)
         x = prep_batch(batch, train=True, flip_rng=flip_rng,
-                       device_augment=cfg.device_augment, aug_rng=aug_rng)
+                       device_augment=cfg.device_augment, aug_rng=aug_rng,
+                       device_audio=cfg.device_audio)
         labels = _labels_of(batch)
         modes = set(getattr(model, "modes", x.keys()))
         x = {k: v for k, v in x.items() if k in modes}
@@ -196,7 +210,7 @@ def make_eval_step(cfg: Config, model, suite: LossSuite,
     task = cfg.task
 
     def step(params, batch_stats, batch: dict):
-        x = prep_batch(batch, train=False)
+        x = prep_batch(batch, train=False, device_audio=cfg.device_audio)
         labels = _labels_of(batch)
         modes = set(getattr(model, "modes", x.keys()))
         x = {k: v for k, v in x.items() if k in modes}

@@ -69,8 +69,23 @@ def _gather_eval_rows(out, batch):
     return gathered[0], gathered[1]
 
 
+def device_batch_keys(model, cfg) -> set:
+    """Keys worth uploading to the device for a step: model inputs +
+    labels (+ raw audio when the mel frontend runs on device). The
+    collated host batch also carries entries the step never reads —
+    notably the raw (B, 1, 441000) float32 ``audio`` the reference
+    dataset returns alongside host mels (aff2compdataset.py:243-247),
+    113 MB/64-batch that would otherwise ride every H2D transfer."""
+    keys = set(getattr(model, "modes", ("clip", "audio_features")))
+    keys |= {"AU", "EX", "VA"}
+    if getattr(cfg, "device_audio", False):
+        keys |= {"audio", "audio_len"}
+        keys.discard("audio_features")  # computed inside the step
+    return keys
+
+
 def evaluate(eval_step, state: TrainState, loader, mesh=None,
-             num_step: int | None = None):
+             num_step: int | None = None, keep: set | None = None):
     """Validation sweep -> composite scores (reference train.py:106-169)."""
     metric_ex = AccF1Metric(ignore_index=7)
     metric_va = CCCMetric(ignore_index=-5.0)
@@ -79,7 +94,9 @@ def evaluate(eval_step, state: TrainState, loader, mesh=None,
     for batch in loader:
         if num_step is not None and steps >= num_step:
             break
-        dev_batch = shard_batch(mesh, batch) if mesh is not None else batch
+        up = batch if keep is None \
+            else {k: v for k, v in batch.items() if k in keep}
+        dev_batch = shard_batch(mesh, up) if mesh is not None else up
         out, loss = eval_step(state.params, state.batch_stats, dev_batch)
         out, batch = _gather_eval_rows(out, batch)
         total_loss += float(loss)
@@ -186,6 +203,7 @@ def train(cfg: Config, dataset=None, max_steps_per_epoch: int | None = None,
     state = create_train_state(cfg, model, variables)
     train_step = make_train_step(cfg, model, suite, mesh)
     eval_step = make_eval_step(cfg, model, suite, mesh)
+    dev_keys = device_batch_keys(model, cfg)
     stopper = EarlyStopper(cfg.early_stop_step, cfg.checkpoint_path)
 
     epochs = epochs if epochs is not None else cfg.epochs
@@ -228,7 +246,8 @@ def train(cfg: Config, dataset=None, max_steps_per_epoch: int | None = None,
                 except Exception as e:  # pragma: no cover
                     logging.warning(f"profiler unavailable: {e}")
                     tracing = False
-            dev_batch = shard_batch(mesh, batch)
+            dev_batch = shard_batch(
+                mesh, {k: v for k, v in batch.items() if k in dev_keys})
             state, metrics = train_step(state, dev_batch, keys())
             meters["loss"].update(float(metrics["loss"]))
             timer.mark_step()
@@ -280,7 +299,7 @@ def train(cfg: Config, dataset=None, max_steps_per_epoch: int | None = None,
                 f"val: scoring {n_scored}/{n_val_global} samples "
                 "(equal host shards + drop_last truncation)")
         scores = evaluate(eval_step, state, val_loader, mesh,
-                          num_step=num_eval)
+                          num_step=num_eval, keep=dev_keys)
 
         if cfg.task == "ALL":
             total_score = sum(scores[t]["score"] for t in ("EX", "AU", "VA"))
