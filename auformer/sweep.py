@@ -93,7 +93,19 @@ class SweepBase:
         are dead weight only. Padded shapes are constant per bucket shape:
         no extra compiles."""
         if self.mesh is None:
-            return arrays if len(arrays) > 1 else arrays[0]
+            # single-device: issue the H2D transfers ASYNCHRONOUSLY instead
+            # of letting the jit call do them inline. A jitted call with
+            # numpy args blocks the host until every argument transfer
+            # completes — through the axon RPC tunnel that inline block
+            # stretched to 1.5-4.5 s per bucket while executions were in
+            # flight (round-4 packed-pipeline probe, 2026-08-19), whereas
+            # device_put returns immediately and the transfer overlaps
+            # decode of the next slice.
+            placed = tuple(
+                jax.device_put(np.ascontiguousarray(a)
+                               if isinstance(a, np.ndarray) else a)
+                for a in arrays)
+            return placed if len(placed) > 1 else placed[0]
         from .core.mesh import data_sharding
         d = self.mesh.shape["data"]
 
@@ -718,10 +730,78 @@ class VformerSweep(SweepBase):
             [self.dispatch_video(frames_u8, batch=batch)])[0]
 
 
+#: RGB zoo models whose prediction depends on ONE frame: for them the
+#: trunk-once-per-frame sweep IS the whole model, so dense serving is a
+#: straight batched per-frame forward (no window gather, no history
+#: margins). dsformer is also single-frame but consumes the V;M mask
+#: channel the RGB-only serving decode path doesn't assemble.
+SINGLE_FRAME_MODELS = ("sformer", "van", "vggformer", "emonet", "resnet")
+
+
+class SingleFrameSweep(SweepBase):
+    """Batched per-frame executor for the single-frame zoo models
+    (reference sformer.py:368 single-frame assert and friends): each test
+    frame forwards once through the full model at fixed bucket shapes —
+    the universal fast submission path for models with no temporal window
+    (VERDICT round-3 item 9)."""
+
+    out_dim = 21
+    needs_audio = False
+
+    def __init__(self, cfg: Config, variables, mesh=None):
+        if cfg.model_name not in SINGLE_FRAME_MODELS:
+            raise ValueError(f"{cfg.model_name} is not single-frame")
+        if "M" in cfg.modality:
+            raise NotImplementedError(
+                "serving decode assembles RGB frames only (modality 'V')")
+        self.cfg = cfg
+        self.mesh = mesh
+        dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" \
+            else jnp.float32
+        self.dtype = dtype
+
+        from .nn import build_model
+        model = build_model(cfg)
+        self.v = self._place_weights(variables)
+
+        def _fused_sweep(v, frames_u8):
+            x = {"clip": normalize_clip(frames_u8, dtype=dtype)[:, None]}
+            return model.apply(v, x, train=False).astype(jnp.float32)
+
+        self.fused_sweep_fn = jax.jit(_fused_sweep)
+        self.fused_sweep = lambda f: self.fused_sweep_fn(self.v, f)
+
+    def dispatch_video(self, frames_u8: np.ndarray, wav=None,
+                       timestamps_ms=None, batch: int = 512):
+        """Uniform serving dispatch (``wav``/``timestamps_ms`` accepted and
+        ignored); buckets pad to fixed shapes so every video compiles to
+        the same programs."""
+        n = frames_u8.shape[0]
+        pending = []
+        for s in range(0, n, batch):
+            cur = min(batch, n - s)
+            bsize = min(batch, -(-cur // 256) * 256)
+            chunk = frames_u8[s:s + cur]
+            if cur < bsize:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((bsize - cur,) + chunk.shape[1:],
+                                     np.uint8)])
+            chunk = self._shard_data(chunk)
+            fut = self.fused_sweep(chunk)
+            pending.append((s, cur, fut))
+        return (n, pending)
+
+    def sweep_video(self, frames_u8: np.ndarray,
+                    batch: int = 512) -> np.ndarray:
+        """frames_u8 (N,H,W,3) -> (N, 21) logits, one concatenated fetch."""
+        return self.fetch_many(
+            [self.dispatch_video(frames_u8, batch=batch)])[0]
+
+
 def make_sweep(cfg: Config, variables, mesh=None) -> SweepBase:
     """Sweep executor for the configured model (the reference's inference
-    path serves every model; dense-sweep acceleration currently covers the
-    two transformer flagships).
+    path serves every model; dense-sweep acceleration covers the two
+    transformer flagships plus every single-frame RGB zoo model).
 
     ``mesh``: optional ``jax.sharding.Mesh`` — weights replicate and each
     bucket's payload shards over the 'data' axis (one GSPMD program;
@@ -733,6 +813,8 @@ def make_sweep(cfg: Config, variables, mesh=None) -> SweepBase:
         return AvformerSweep(cfg, variables, mesh=mesh)
     if cfg.model_name == "vformer":
         return VformerSweep(cfg, variables, mesh=mesh)
+    if cfg.model_name in SINGLE_FRAME_MODELS and "M" not in cfg.modality:
+        return SingleFrameSweep(cfg, variables, mesh=mesh)
     raise NotImplementedError(
         f"no dense-sweep executor for model '{cfg.model_name}'; use "
         "run_inference (clip-batched) instead")

@@ -294,3 +294,53 @@ def test_sweep_shared_audio_runs_end_to_end():
     out = sweep.sweep_video_shared_audio(frames, wav, ts, batch=8)
     assert out.shape == (n, 12)
     assert np.isfinite(out).all()
+
+
+def test_single_frame_sweep_matches_clip_forward():
+    """SingleFrameSweep == the model's own single-frame clip forward."""
+    from auformer.ops.preprocess import normalize_clip
+    from auformer.sweep import SingleFrameSweep
+
+    cfg = Config(model_name="sformer", modality="V", task="AU",
+                 n_frames=1, dilation=1, image_size=32,
+                 compute_dtype="float32", use_pallas=False)
+    model, variables = init_model(cfg)
+    sweep = SingleFrameSweep(cfg, variables)
+
+    rs = np.random.RandomState(1)
+    n = 11  # exercises the pad tail (bucket 8 -> 8 + 3-pad-to-8)
+    frames = rs.randint(0, 256, (n, 32, 32, 3)).astype(np.uint8)
+    got = sweep.sweep_video(frames, batch=8)
+    assert got.shape == (n, 21)
+    ref = np.asarray(model.apply(
+        variables, {"clip": normalize_clip(frames[:, None])}, train=False))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("model_name", ["sformer", "van"])
+def test_single_frame_run_inference_sweep_matches_batched(tmp_path,
+                                                          model_name):
+    """run_inference_sweep serves the single-frame zoo models: same
+    21-logit output and submission rows as the clip-batched path
+    (VERDICT round-3 item 9: the fast submission path is universal for
+    models with no temporal window)."""
+    from auformer.data.fixtures import generate_synthetic_dataset
+    from auformer.infer import run_inference, run_inference_sweep
+
+    root = str(tmp_path / "root")
+    label = str(tmp_path / "labels")
+    generate_synthetic_dataset(root, label, n_videos=4, frames_per_video=12,
+                               image_size=32, audio_secs=1.0)
+    cfg = Config(root=root, lmdb_label_dir=label,
+                 cache_dir=str(tmp_path / "cache"),
+                 model_name=model_name, modality="V", task="ALL",
+                 n_frames=1, dilation=1, image_size=32, batch_size=8,
+                 compute_dtype="float32", use_pallas=False, host_threads=2)
+    model, variables = init_model(cfg)
+    ref = run_inference(cfg, variables, result_path=str(tmp_path / "r1"))
+    got = run_inference_sweep(cfg, variables,
+                              result_path=str(tmp_path / "r2"), bucket=8)
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+    t1 = (tmp_path / "r1" / "au" / "vid003.txt").read_text()
+    t2 = (tmp_path / "r2" / "au" / "vid003.txt").read_text()
+    assert t1 == t2
