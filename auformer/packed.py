@@ -370,9 +370,14 @@ class PackedAssembler:
         uniq = np.unique(phase_vals[:cur][live])
         if uniq.size == 0:
             uniq = np.zeros(1, np.int64)
+        # pad the phase axis to the next power of two, NOT always
+        # MAX_PHASES: each pad slot recomputes a full (t_g, M) mel table
+        # inside the program (~1.3 ms f32 DFT matmul per slot at bucket
+        # 2048), so an 8-slot table for 3 live phases wasted ~6 ms/bucket
+        # of device time. {1,2,4,8} keeps the compile-shape count bounded.
+        n_ph = min(1 << max(0, int(uniq.size - 1).bit_length()), MAX_PHASES)
         phases = np.concatenate(
-            [uniq, np.full(MAX_PHASES - uniq.size, uniq[0])]).astype(
-                np.int32)
+            [uniq, np.full(n_ph - uniq.size, uniq[0])]).astype(np.int32)
         psel = np.searchsorted(uniq, phase_vals).astype(np.int32)
         psel = np.where(np.arange(bsize) < cur, psel, 0)
         psel = np.where(
@@ -388,8 +393,11 @@ class PackedAssembler:
         chunk, st, nv, bs2, ps, rw = sw._shard_data(
             chunk, st, n_valid, bs, psel, rw)
         if sw.mesh is None:
-            wav_dev = wav_buf
-            ph_dev = phases
+            # async H2D: never let the jit call block inline on the
+            # transfer (see sweep._shard_data single-device note)
+            import jax
+            wav_dev = jax.device_put(wav_buf)
+            ph_dev = jax.device_put(phases)
         else:
             import jax
             from .core.mesh import replicated_sharding

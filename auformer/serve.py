@@ -14,6 +14,7 @@ This module is also the end-to-end throughput benchmark:
 from __future__ import annotations
 
 import os
+import sys
 import threading
 import time
 from typing import Iterator
@@ -159,6 +160,7 @@ def _decode_worker_main(conn, cfg: Config) -> None:
             # the round-4 e2e breakdown)
             _tag, video_nr, a, b, base, want_wav = req
             t0 = _time.perf_counter()
+            c0 = _time.process_time()
             vid_idx = test_idx[ds.video_db_nr[test_idx] == video_nr]
             rows = vid_idx[a:b]
             arena[base:base + len(rows)] = \
@@ -167,7 +169,13 @@ def _decode_worker_main(conn, cfg: Config) -> None:
             if want_wav:
                 video_id = os.path.dirname(ds.image_path[vid_idx[0]])
                 wav = read_video_wav(audio_dir, video_id)
-            conn.send((wav, _time.perf_counter() - t0))
+            dsec = _time.perf_counter() - t0
+            if os.environ.get("AUFORMER_DEBUG_DECODE"):
+                print(f"[decode-child] slice v{video_nr} [{a},{b}) "
+                      f"wall {dsec:.3f}s cpu "
+                      f"{_time.process_time() - c0:.3f}s",
+                      file=sys.stderr, flush=True)
+            conn.send((wav, dsec))
             continue
         video_nr = req
         t0 = _time.perf_counter()

@@ -66,6 +66,11 @@ E2E_FRAMES = 1280  # 8 x 1280 = 10240 test clips: enough to amortize the
                    # tunnel's fixed ~1.4 s fetch-sync + per-video H2D now
                    # that phase-mel collapsed device compute (round 3)
 E2E_MAX_CLIPS = 10240  # whole fixture: pipeline amortizes per-video stalls
+TRAIN_CACHE = os.path.join(REPO, ".cache", "bench_train")
+TRAIN_VIDEOS = 6
+TRAIN_FRAMES = 1100    # 6600 train samples = 103 B=64 steps per epoch
+TRAIN_E2E_STEPS = 40   # measured steps per variant (after 1 warm step)
+TRAIN_E2E_BATCH = 64   # reference train batch (opts.py:27)
 
 _T0 = time.monotonic()
 
@@ -80,6 +85,23 @@ _MODE_RANK = {"none": 0, "smoke": 1, "clip_batch": 2, "dense_sweep": 3,
 def _progress(msg: str) -> None:
     print(f"[bench +{time.monotonic() - _T0:.0f}s] {msg}", file=sys.stderr,
           flush=True)
+
+
+def _ensure_train_dataset():
+    """Synthetic all-train dataset of real 112x112 JPEGs (cached on disk)."""
+    from auformer.data.fixtures import (ensure_fixture,
+                                        generate_synthetic_dataset)
+    ensure_fixture(
+        TRAIN_CACHE, f"{TRAIN_VIDEOS}x{TRAIN_FRAMES}@112train",
+        lambda: generate_synthetic_dataset(
+            os.path.join(TRAIN_CACHE, "root"),
+            os.path.join(TRAIN_CACHE, "labels"),
+            n_videos=TRAIN_VIDEOS, frames_per_video=TRAIN_FRAMES,
+            image_size=112, splits=["train"],
+            audio_secs=TRAIN_FRAMES / 30.0 + 0.5))
+    return (os.path.join(TRAIN_CACHE, "root"),
+            os.path.join(TRAIN_CACHE, "labels"),
+            os.path.join(TRAIN_CACHE, "cache"))
 
 
 def _ensure_e2e_dataset():
@@ -230,6 +252,9 @@ def measure(sections: list[str], use_pallas: bool, cpu_mode: bool,
         "e2e_cold_clips_per_sec": None,
         "e2e_clips": None,
         "train_step_ms": None, "train_step_ms_no_pallas": None,
+        "train_e2e_clips_per_sec": None, "train_e2e_stall_frac": None,
+        "train_e2e_device_front_clips_per_sec": None,
+        "train_e2e_device_front_stall_frac": None,
         "backend": jax.default_backend(), "pallas": bool(use_pallas),
         "sections_done": [],
     }
@@ -593,12 +618,131 @@ def measure(sections: list[str], use_pallas: bool, cpu_mode: bool,
             errors["e2e"] = repr(e)[:300]
             _progress(f"e2e failed: {errors['e2e'][:120]}")
 
+    # ---- loader-fed training throughput over a real FrameStore fixture ----
+    if "train_e2e" in sections and on_tpu and remaining() > 240:
+        try:
+            wd.section("train_e2e setup", 300)
+            host = _train_e2e_rate(cfg, model, variables, wd,
+                                   device_front=False)
+            out["train_e2e_clips_per_sec"] = host["clips_per_sec"]
+            out["train_e2e_stall_frac"] = host["stall_frac"]
+            out["train_e2e_step_ms"] = host["step_ms"]
+            _progress(f"train_e2e host-frontend: {host['clips_per_sec']:.0f}"
+                      f" clips/s, stall {host['stall_frac']:.2f} "
+                      f"({host['steps']} steps)")
+            _emit(out)
+            if remaining() > 240:
+                dev = _train_e2e_rate(cfg, model, variables, wd,
+                                      device_front=True)
+                out["train_e2e_device_front_clips_per_sec"] = \
+                    dev["clips_per_sec"]
+                out["train_e2e_device_front_stall_frac"] = dev["stall_frac"]
+                _progress("train_e2e device-frontend: "
+                          f"{dev['clips_per_sec']:.0f} clips/s, stall "
+                          f"{dev['stall_frac']:.2f} ({dev['steps']} steps)")
+            out["sections_done"].append("train_e2e")
+            _emit(out)
+        except Exception as e:
+            errors["train_e2e"] = repr(e)[:300]
+            _progress(f"train_e2e failed: {errors['train_e2e'][:120]}")
+
     wd.clear()
     if errors:
         out["section_errors"] = errors
     if not out["sections_done"]:
         raise RuntimeError(f"all measurement sections failed: {errors}")
     return out
+
+
+def _train_e2e_rate(cfg, model, variables, wd,
+                    device_front: bool) -> dict:
+    """Loader-fed training throughput over the FrameStore fixture: real
+    ``train_step``s consuming batches from the threaded DataLoader +
+    Prefetcher + shard_batch — the full input path the reference runs
+    single-threaded in-main-loop (train.py:190 ``num_workers=0``,
+    aff2compdataset.py:114-175; SURVEY §3.2). ``device_front=True``
+    additionally moves AutoAugment + the mel frontend into the jitted
+    step (cfg.device_augment/device_audio), leaving the host only JPEG
+    decode + wav reads.
+
+    Returns clips/s and the data-stall fraction: the share of wall time
+    the host loop spent blocked waiting for the next host batch (device
+    dispatch runs async; only the final state sync is inside the clock).
+    """
+    import dataclasses as _dc
+
+    import jax
+
+    from auformer.core.mesh import make_mesh, shard_batch
+    from auformer.data.dataset import Aff2CompDataset
+    from auformer.data.samplers import (DataLoader, Prefetcher,
+                                        SubsetSequentialSampler)
+    from auformer.nn import loss_suite
+    from auformer.parallel import create_train_state, make_train_step
+    from auformer.train_lib import device_batch_keys
+
+    root, labels, cache = _ensure_train_dataset()
+    tcfg = _dc.replace(
+        cfg, root=root, lmdb_label_dir=labels, cache_dir=cache,
+        exp_dir=os.path.join(TRAIN_CACHE, "exp"),
+        batch_size=TRAIN_E2E_BATCH, host_threads=4,
+        device_augment=device_front, device_audio=device_front)
+    ds = Aff2CompDataset(tcfg)
+    ds.set_modes(list(model.modes))
+    ds.set_aug(not device_front)  # host PIL augment on the parity path
+    ds.aug_seed = 17
+    ids = np.nonzero(ds.train_ids)[0]
+
+    mesh = make_mesh()
+    suite = loss_suite(model)
+    # private param copy: the production train step DONATES its state, so
+    # running it would delete the shared `variables` buffers the other
+    # bench sections (and the second variant) still need
+    import jax.numpy as jnp
+    variables = jax.tree_util.tree_map(jnp.copy, variables)
+    state = create_train_state(tcfg, model, variables)
+    step = make_train_step(tcfg, model, suite, mesh)
+    keep = device_batch_keys(model, tcfg)
+    rng = jax.random.PRNGKey(3)
+
+    loader = DataLoader(ds, tcfg.batch_size,
+                        SubsetSequentialSampler(ids, shuffle=True),
+                        num_threads=tcfg.host_threads, drop_last=True,
+                        prefetch_batches=tcfg.prefetch_depth)
+    prefetch = Prefetcher(loader, depth=tcfg.prefetch_depth)
+
+    def trim(b):
+        return {k: v for k, v in b.items() if k in keep}
+
+    # warm step: loader spin-up + train-step compile outside the clock
+    wd.section("train_e2e warm/compile", 900)
+    batch = prefetch.next()
+    state, _ = step(state, shard_batch(mesh, trim(batch)), rng)
+    jax.tree_util.tree_leaves(state.params)[0].block_until_ready()
+
+    wd.section("train_e2e measure", 600)
+    t_data = 0.0
+    steps = 0
+    t0 = time.perf_counter()
+    while steps < TRAIN_E2E_STEPS:
+        td = time.perf_counter()
+        batch = prefetch.next()
+        t_data += time.perf_counter() - td
+        if batch is None:
+            break
+        state, _ = step(state, shard_batch(mesh, trim(batch)),
+                        jax.random.fold_in(rng, steps))
+        steps += 1
+    jax.tree_util.tree_leaves(state.params)[0].block_until_ready()
+    wall = time.perf_counter() - t0
+    # drain the loader threads so the next variant starts clean
+    while prefetch.next() is not None:
+        pass
+    clips = steps * tcfg.batch_size
+    return {"clips_per_sec": round(clips / wall, 2) if wall > 0 else 0.0,
+            "stall_frac": round(t_data / wall, 3) if wall > 0 else 0.0,
+            "steps": steps,
+            "step_ms": round(wall / max(steps, 1) * 1e3, 2)}
 
 
 def _train_step_ms(cfg, model, variables, rs,
@@ -757,7 +901,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--inner", action="store_true")
     ap.add_argument("--sections",
-                    default="smoke,clip,sweep,phase,train,e2e")
+                    default="smoke,clip,sweep,phase,train,e2e,train_e2e")
     ap.add_argument("--no_pallas", action="store_true")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--cap", type=float, default=1500.0)
@@ -812,6 +956,8 @@ def main():
                     missing.append("phase")
                 if have.get("train_step_ms") is None:
                     missing.append("train")
+                if "train_e2e" not in have.get("sections_done", []):
+                    missing.append("train_e2e")
                 e2e_have = have.get("e2e_decode_infer_clips_per_sec")
                 # retry only a MISSING or clearly-unstable e2e section:
                 # instability = the best pass never stabilized (every pass

@@ -56,11 +56,16 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--bucket", type=int, default=512)
     p.add_argument("--iters", type=int, default=8)
-    p.add_argument("--mode", choices=["window", "phase"], default="window",
+    p.add_argument("--mode", choices=["window", "phase", "packed"],
+                   default="window",
                    help="window: per-window mel (strict per-window "
                         "semantics); phase: the EXACT shared-spectrogram "
                         "route production serving dispatches "
-                        "(sweep.py::dispatch_video_device_audio)")
+                        "(sweep.py::dispatch_video_device_audio); packed: "
+                        "the cross-video packed-bucket program "
+                        "(sweep.py::fused_sweep_packed) on a synthetic "
+                        "single-video bucket mirroring "
+                        "packed.PackedAssembler._dispatch_packed payloads")
     p.add_argument("--trace_dir", default=TRACE_DIR)
     p.add_argument("--gflops-per-clip", type=float, default=7.24,
                    help="fallback analytic GFLOP/clip when the backend's "
@@ -104,7 +109,49 @@ def main(argv=None):
 
     # sw.v enters as an ARGUMENT — closing over the weights would embed
     # them as HLO constants (see auformer/sweep.py)
-    if args.mode == "phase":
+    if args.mode == "packed":
+        from auformer.packed import (MAX_PHASES, PACK_PRE, PACK_TAIL,
+                                     WAV_QUANTUM)
+        from auformer.ops.phase_mel import HOP_LENGTH
+        # one synthetic 30 fps video filling the bucket: stride-1470 window
+        # offsets -> 3 hop-grid phases {0, 147, 294}
+        slen = cfg.sample_len_frames
+        off = (np.arange(bucket, dtype=np.int64) * 1470)
+        seg_hi = int(off.max() + slen + 512)
+        content = -(-(seg_hi + 512) // WAV_QUANTUM) * WAV_QUANTUM
+        wav_buf = np.zeros(PACK_PRE + content + PACK_TAIL, np.float32)
+        wav_buf[PACK_PRE:PACK_PRE + seg_hi] = \
+            (rs.randn(seg_hi) * 0.1).astype(np.float32)
+        starts_np = (PACK_PRE + off).astype(np.int32)
+        nv_np = np.full(bucket, slen, np.int32)
+        base_np = (off // HOP_LENGTH).astype(np.int32)
+        uniq = np.unique(off % HOP_LENGTH)
+        n_ph = min(1 << max(0, int(uniq.size - 1).bit_length()), MAX_PHASES)
+        phases_np = np.concatenate(
+            [uniq, np.full(n_ph - uniq.size, uniq[0])]).astype(np.int32)
+        psel_np = np.searchsorted(uniq, off % HOP_LENGTH).astype(np.int32)
+        wav_dev = jax.device_put(jnp.asarray(wav_buf))
+        st, nv = jax.device_put(starts_np), jax.device_put(nv_np)
+        bs, ps = jax.device_put(base_np), jax.device_put(psel_np)
+        phases = jax.device_put(phases_np)
+        # rows: interior dilated windows into the (bucket+lf)-frame chunk,
+        # black slot at bucket+lf (mirrors packed.py:316-339 for one video
+        # with frame_base=0, lo=0)
+        i = np.arange(bucket)[:, None]
+        k = np.arange(cfg.n_frames)[None, :]
+        ridx = i - lf + cfg.dilation * (k + 1) + lf  # lo = s - lf
+        rows_np = np.where((ridx < 0) | (ridx >= bucket + lf),
+                           bucket + lf, ridx).astype(np.int32)
+        idx = jax.device_put(rows_np)
+
+        @jax.jit
+        def one(v, frames, wav_buf, idx):
+            return jnp.sum(sw.fused_sweep_packed_fn(
+                v, frames, wav_buf, phases, st, nv, bs, ps, idx)
+                .astype(jnp.float32))
+
+        args_tuple = (sw.v, frames, wav_dev, idx)
+    elif args.mode == "phase":
         from auformer.ops.phase_mel import phase_mel_table, phase_plan
         slen = cfg.sample_len_frames
         ts_ms = 10_000.0 + np.arange(bucket) * (1000.0 / 30.0)
