@@ -255,6 +255,8 @@ def measure(sections: list[str], use_pallas: bool, cpu_mode: bool,
         "train_e2e_clips_per_sec": None, "train_e2e_stall_frac": None,
         "train_e2e_device_front_clips_per_sec": None,
         "train_e2e_device_front_stall_frac": None,
+        "train_loader_clips_per_sec": None,
+        "train_loader_device_front_clips_per_sec": None,
         "backend": jax.default_backend(), "pallas": bool(use_pallas),
         "sections_done": [],
     }
@@ -627,9 +629,12 @@ def measure(sections: list[str], use_pallas: bool, cpu_mode: bool,
             out["train_e2e_clips_per_sec"] = host["clips_per_sec"]
             out["train_e2e_stall_frac"] = host["stall_frac"]
             out["train_e2e_step_ms"] = host["step_ms"]
+            out["train_loader_clips_per_sec"] = \
+                host["loader_clips_per_sec"]
             _progress(f"train_e2e host-frontend: {host['clips_per_sec']:.0f}"
-                      f" clips/s, stall {host['stall_frac']:.2f} "
-                      f"({host['steps']} steps)")
+                      f" clips/s (loader-only "
+                      f"{host['loader_clips_per_sec']:.0f}), stall "
+                      f"{host['stall_frac']:.2f} ({host['steps']} steps)")
             _emit(out)
             if remaining() > 240:
                 dev = _train_e2e_rate(cfg, model, variables, wd,
@@ -637,8 +642,11 @@ def measure(sections: list[str], use_pallas: bool, cpu_mode: bool,
                 out["train_e2e_device_front_clips_per_sec"] = \
                     dev["clips_per_sec"]
                 out["train_e2e_device_front_stall_frac"] = dev["stall_frac"]
+                out["train_loader_device_front_clips_per_sec"] = \
+                    dev["loader_clips_per_sec"]
                 _progress("train_e2e device-frontend: "
-                          f"{dev['clips_per_sec']:.0f} clips/s, stall "
+                          f"{dev['clips_per_sec']:.0f} clips/s (loader-only "
+                          f"{dev['loader_clips_per_sec']:.0f}), stall "
                           f"{dev['stall_frac']:.2f} ({dev['steps']} steps)")
             out["sections_done"].append("train_e2e")
             _emit(out)
@@ -705,14 +713,36 @@ def _train_e2e_rate(cfg, model, variables, wd,
     keep = device_batch_keys(model, tcfg)
     rng = jax.random.PRNGKey(3)
 
-    loader = DataLoader(ds, tcfg.batch_size,
-                        SubsetSequentialSampler(ids, shuffle=True),
-                        num_threads=tcfg.host_threads, drop_last=True,
-                        prefetch_batches=tcfg.prefetch_depth)
-    prefetch = Prefetcher(loader, depth=tcfg.prefetch_depth)
+    def make_prefetch():
+        loader = DataLoader(ds, tcfg.batch_size,
+                            SubsetSequentialSampler(ids, shuffle=True),
+                            num_threads=tcfg.host_threads, drop_last=True,
+                            prefetch_batches=tcfg.prefetch_depth)
+        return Prefetcher(loader, depth=tcfg.prefetch_depth)
 
     def trim(b):
         return {k: v for k, v in b.items() if k in keep}
+
+    # pure loader rate first (no device in the loop): the mood-free number
+    # that answers "can the input pipeline feed the device step rate" on
+    # any host — through this box's RPC tunnel the per-step dispatch cost
+    # swings 50 ms - 2 s run-to-run, swamping the loader signal in the
+    # loader-fed wall number below
+    wd.section("train_e2e loader-only", 300)
+    prefetch = make_prefetch()
+    batch = prefetch.next()  # thread spin-up outside the clock
+    t0 = time.perf_counter()
+    lsteps = 0
+    while lsteps < min(TRAIN_E2E_STEPS, 20):
+        if prefetch.next() is None:
+            break
+        lsteps += 1
+    loader_rate = lsteps * tcfg.batch_size / max(time.perf_counter() - t0,
+                                                 1e-6)
+    while prefetch.next() is not None:  # drain threads
+        pass
+
+    prefetch = make_prefetch()
 
     # warm step: loader spin-up + train-step compile outside the clock
     wd.section("train_e2e warm/compile", 900)
@@ -742,7 +772,8 @@ def _train_e2e_rate(cfg, model, variables, wd,
     return {"clips_per_sec": round(clips / wall, 2) if wall > 0 else 0.0,
             "stall_frac": round(t_data / wall, 3) if wall > 0 else 0.0,
             "steps": steps,
-            "step_ms": round(wall / max(steps, 1) * 1e3, 2)}
+            "step_ms": round(wall / max(steps, 1) * 1e3, 2),
+            "loader_clips_per_sec": round(loader_rate, 2)}
 
 
 def _train_step_ms(cfg, model, variables, rs,
