@@ -26,13 +26,25 @@ from .vformer import VideoModel
 class AudioModel(nn.Module):
     """1-channel resnet18 over the log-mel image -> (B, 512) features
     (reference audio.py:22-39; the 22-way fc is replaced by Dummy in every
-    user, audio.py:51 / avformer.py:47, so it is omitted)."""
+    user, audio.py:51 / avformer.py:47, so it is omitted).
+
+    ``time_major=True`` takes (B, T, n_mels, 1) NHWC input directly — the
+    layout the dense sweep's phase-mel row gather produces — and expects
+    variables whose conv kernels have their H/W axes swapped
+    (sweep.swap_conv_hw). Every resnet18 conv, pad, and pool is symmetric
+    across H and W, so the pooled (B, 512) features are the transpose-free
+    equal of the default orientation (float-reassociation noise only).
+    """
     dtype: Dtype = jnp.float32
+    time_major: bool = False
 
     @nn.compact
     def __call__(self, audio_features, *, train: bool = False):
-        # (B, 1, n_mels, T) [torch layout] -> NHWC (B, n_mels, T, 1)
-        x = jnp.transpose(audio_features, (0, 2, 3, 1))
+        if self.time_major:
+            x = audio_features                    # (B, T, n_mels, 1) NHWC
+        else:
+            # (B, 1, n_mels, T) [torch layout] -> NHWC (B, n_mels, T, 1)
+            x = jnp.transpose(audio_features, (0, 2, 3, 1))
         return ResNet18(dtype=self.dtype, name="resnet")(x, train=train)
 
 

@@ -185,12 +185,21 @@ def _edge_frames(wav_ext: jax.Array, starts: jax.Array, n_valid: jax.Array,
 def phase_window_features(wav_ext: jax.Array, phase_mels: jax.Array,
                           starts: jax.Array, n_valid: jax.Array,
                           base: jax.Array, phase_sel: jax.Array,
-                          out_frames: int = 1001) -> jax.Array:
+                          out_frames: int = 1001,
+                          time_major: bool = False) -> jax.Array:
     """Assemble (N, 1, n_mels, out_frames) normalized log-mel features.
 
     Interior frames gather from ``phase_mels`` (P, T_g, M); edge frames
     compute per window; features left-pad to ``out_frames`` and the
     per-window dB floor + affine normalize match audio_frontend.
+
+    ``time_major=True`` returns (N, out_frames, n_mels, 1) instead — the
+    layout the row gather already produces. The (N, T, M) -> (N, M, T)
+    transpose is a full physical relayout on TPU (the round-3 phase trace
+    charged ~3.6 ms/bucket of copy fusions to it); consumers avoid it by
+    running the audio trunk with HW-swapped conv kernels
+    (nn.avformer.AudioModel(time_major=True)), which is math-identical
+    because every resnet18 conv/pool is symmetric across H and W.
     """
     n_mels = phase_mels.shape[-1]
     t_g = phase_mels.shape[1]
@@ -210,6 +219,10 @@ def phase_window_features(wav_ext: jax.Array, phase_mels: jax.Array,
     out = jnp.where(is0, e0[:, None, :], interior)
     out = jnp.where(islast, e1[:, None, :], out)
     out = jnp.where(valid, out, 0.0)
+    if time_major:
+        # amplitude_to_db reduces over the last two axes — the same
+        # element set in either orientation, so the floor is identical
+        return normalize_spec(amplitude_to_db(out))[..., None]
     mel = jnp.transpose(out, (0, 2, 1))               # (N, M, T)
     db = amplitude_to_db(mel)
     return normalize_spec(db)[:, None]

@@ -44,6 +44,16 @@ def _sub(variables, *path):
     return {"params": p, "batch_stats": s}
 
 
+def swap_conv_hw(tree):
+    """Swap the H/W axes of every conv kernel (HWIO, ndim 4) in a variable
+    tree. Running a trunk whose convs/pools are all H/W-symmetric (the
+    audio resnet18) on spatially-transposed input with these weights gives
+    the spatially-transposed activations — and identical pooled features —
+    without ever materializing the input transpose on device."""
+    return jax.tree.map(
+        lambda a: jnp.swapaxes(a, 0, 1) if jnp.ndim(a) == 4 else a, tree)
+
+
 def _fetch_concat(handles, out_dim: int) -> "list[np.ndarray]":
     """Block on several dispatch handles with ONE concatenated D2H fetch.
 
@@ -241,6 +251,7 @@ class AvformerSweep(SweepBase):
         v_au_head = AUFormerHead(input_dim=512, dtype=dtype,
                                  use_pallas=use_pallas)
         a_model = AudioModel(dtype)
+        a_model_tm = AudioModel(dtype, time_major=True)
         a_au_head = AUFormerHead(dropout=cfg.dropout_rate, dtype=dtype,
                                  use_pallas=use_pallas)
         fusion = FormerAUHead(emb_dim=256, dropout=cfg.dropout_rate,
@@ -259,6 +270,10 @@ class AvformerSweep(SweepBase):
             "tf": _sub(variables, "video_model", "video_model", "t_former"),
             "v_head": _sub(variables, "video_model", "au_head"),
             "a_net": _sub(variables, "audio_model", "audio_model"),
+            # HW-swapped copy for the transpose-free (time-major) audio
+            # feature layout the phase/packed sweep programs use
+            "a_net_tm": swap_conv_hw(
+                _sub(variables, "audio_model", "audio_model")),
             "a_head": _sub(variables, "audio_model", "au_head"),
             "f_head": _sub(variables, "au_head"),
         })
@@ -267,18 +282,25 @@ class AvformerSweep(SweepBase):
             x = normalize_clip(frames_u8, dtype=dtype)
             return trunk.apply(v["trunk"], x, train=False, deterministic=True)
 
-        def _head_forward(v, gathered_feats, audio_features):
+        def _head_forward(v, gathered_feats, audio_features,
+                          time_major=False):
             pooled = tformer.apply(v["tf"], gathered_feats,
                                    deterministic=True)
             _, v_tokens = v_au_head.apply(v["v_head"], pooled, train=False,
                                           deterministic=True)
-            a_feat = a_model.apply(v["a_net"], audio_features, train=False)
+            if time_major:  # (N, T, M, 1) features + HW-swapped trunk
+                a_feat = a_model_tm.apply(v["a_net_tm"], audio_features,
+                                          train=False)
+            else:
+                a_feat = a_model.apply(v["a_net"], audio_features,
+                                       train=False)
             _, a_tokens = a_au_head.apply(v["a_head"], a_feat, train=False,
                                           deterministic=True)
             fused = jnp.concatenate([a_tokens, v_tokens], axis=2)
             return fusion.apply(v["f_head"], fused, deterministic=True)
 
-        def _fused_sweep(v, frames_u8, audio_features, idx):
+        def _fused_sweep(v, frames_u8, audio_features, idx,
+                         time_major=False):
             """Whole-bucket sweep in ONE device program: trunk once per
             frame, on-device window gather, temporal+audio heads. No
             intermediate host round-trips."""
@@ -287,7 +309,7 @@ class AvformerSweep(SweepBase):
                 v, jnp.zeros((1,) + frames_u8.shape[1:], jnp.uint8))
             feats = jnp.concatenate([feats, black])         # black slot = N
             gathered = feats[idx]                           # (N, T, 512)
-            return _head_forward(v, gathered, audio_features)
+            return _head_forward(v, gathered, audio_features, time_major)
 
         # vars-first jitted entries (for composition inside an outer jit —
         # pass ``self.v`` through the outer program's arguments) ...
@@ -400,8 +422,9 @@ class AvformerSweep(SweepBase):
             from .ops.phase_mel import phase_window_features
             feats = phase_window_features(wav_ext, phase_mels, starts,
                                           n_valid, base, phase_sel,
-                                          out_frames=self.cfg.mel_frames)
-            return _fused_sweep(v, frames_u8, feats, idx)
+                                          out_frames=self.cfg.mel_frames,
+                                          time_major=True)
+            return _fused_sweep(v, frames_u8, feats, idx, time_major=True)
 
         self.fused_sweep_phase_audio_fn = jax.jit(fused_sweep_phase_audio)
         self.fused_sweep_phase_audio = \
@@ -438,8 +461,9 @@ class AvformerSweep(SweepBase):
                                       t_g=t_g, n_mels=cfg.n_mels)
             feats = phase_window_features(wav_buf, pm, starts, n_valid,
                                           base, phase_sel,
-                                          out_frames=cfg.mel_frames)
-            return _fused_sweep(v, frames_u8, feats, idx)
+                                          out_frames=cfg.mel_frames,
+                                          time_major=True)
+            return _fused_sweep(v, frames_u8, feats, idx, time_major=True)
 
         self.fused_sweep_packed_fn = jax.jit(fused_sweep_packed)
         self.fused_sweep_packed = \
