@@ -69,7 +69,10 @@ E2E_MAX_CLIPS = 10240  # whole fixture: pipeline amortizes per-video stalls
 TRAIN_CACHE = os.path.join(REPO, ".cache", "bench_train")
 TRAIN_VIDEOS = 6
 TRAIN_FRAMES = 1100    # 6600 train samples = 103 B=64 steps per epoch
-TRAIN_E2E_STEPS = 24   # measured steps per variant (after 1 warm step)
+TRAIN_E2E_STEPS = 10   # measured steps per variant (after 1 warm step);
+                       # a bad tunnel mood costs up to ~17 s per dispatch
+                       # (2026-08-19 runs), so 24 steps could eat the whole
+                       # 'full' attempt cap and lose the section to salvage
 TRAIN_E2E_BATCH = 64   # reference train batch (opts.py:27)
 
 _T0 = time.monotonic()
