@@ -71,6 +71,10 @@ class Config:
                                           # __getitem__, aff2compdataset.py:227-238)
     mel_bf16: bool = False                # opt-in bf16 DFT conv in the mel frontend
                                           # (~0.05 dB error, ~4x MXU rate; NOT bit-faithful)
+    steps_per_dispatch: int = 1           # K optimizer steps per device program
+                                          # (lax.scan over stacked loader batches);
+                                          # amortizes per-dispatch overhead on
+                                          # high-latency links (RPC-tunneled TPUs)
 
     # -- derived / runtime -----------------------------------------------------
     checkpoint_path: str = ""
@@ -188,6 +192,7 @@ def build_parser() -> argparse.ArgumentParser:
     tpu.add_argument("--device_augment", action="store_true")
     tpu.add_argument("--device_audio", action="store_true")
     tpu.add_argument("--mel_bf16", action="store_true")
+    tpu.add_argument("--steps_per_dispatch", type=int, default=1)
     return p
 
 

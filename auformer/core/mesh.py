@@ -50,9 +50,12 @@ def make_mesh(spec: str = "data:-1", devices=None) -> Mesh:
     return Mesh(dev_array, axis_names=names)
 
 
-def data_sharding(mesh: Mesh, ndim: int = 1, axis: str = "data") -> NamedSharding:
-    """Shard leading (batch) dim over the data axis, replicate the rest."""
-    spec = (axis,) + (None,) * (ndim - 1)
+def data_sharding(mesh: Mesh, ndim: int = 1, axis: str = "data",
+                  batch_dim: int = 0) -> NamedSharding:
+    """Shard the batch dim (default: leading) over the data axis,
+    replicate the rest. ``batch_dim=1`` is the stacked-batch layout of
+    make_multi_train_step's (K, B, ...) leaves."""
+    spec = (None,) * batch_dim + (axis,) + (None,) * (ndim - 1 - batch_dim)
     return NamedSharding(mesh, P(*spec))
 
 
@@ -60,9 +63,11 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, batch):
+def shard_batch(mesh: Mesh, batch, batch_dim: int = 0):
     """Place a host batch (pytree of np arrays) onto the mesh, batch-sharded.
     Non-numeric entries (e.g. video_id strings) pass through untouched.
+    ``batch_dim=1`` places make_multi_train_step's stacked (K, B, ...)
+    leaves with B sharded and K replicated.
 
     Multi-host: each process passes its PROCESS-LOCAL batch (global batch /
     process_count rows — train_lib.host_shard sizes the loaders) and the
@@ -75,8 +80,8 @@ def shard_batch(mesh: Mesh, batch):
         arr = np.asarray(x)
         if arr.dtype.kind in ("U", "S", "O"):
             return x
-        sh = (data_sharding(mesh, arr.ndim) if arr.ndim >= 1
-              else replicated_sharding(mesh))
+        sh = (data_sharding(mesh, arr.ndim, batch_dim=batch_dim)
+              if arr.ndim >= 1 + batch_dim else replicated_sharding(mesh))
         if multiprocess:
             return jax.make_array_from_process_local_data(sh, arr)
         return jax.device_put(x, sh)

@@ -159,14 +159,9 @@ def task_loss(suite: LossSuite, task: str, out, labels):
     return 3.0 * lex + lau + lva, {"ex": lex, "au": lau, "va": lva}
 
 
-def make_train_step(cfg: Config, model, suite: LossSuite,
-                    mesh: Optional[Mesh] = None,
-                    donate: bool = True) -> Callable:
-    """Returns step(state, batch, rng) -> (state, metrics), jitted.
-
-    With a mesh, inputs/outputs carry NamedShardings (batch over 'data');
-    without, a plain jit for single-device use.
-    """
+def _build_step(cfg: Config, model, suite: LossSuite) -> Callable:
+    """The un-jitted train-step body shared by make_train_step (one step
+    per dispatch) and make_multi_train_step (K steps per dispatch)."""
     task = cfg.task
 
     def step(state: TrainState, batch: dict, rng: jax.Array):
@@ -192,6 +187,19 @@ def make_train_step(cfg: Config, model, suite: LossSuite,
         metrics = {"loss": loss, **parts}
         return new_state, metrics
 
+    return step
+
+
+def make_train_step(cfg: Config, model, suite: LossSuite,
+                    mesh: Optional[Mesh] = None,
+                    donate: bool = True) -> Callable:
+    """Returns step(state, batch, rng) -> (state, metrics), jitted.
+
+    With a mesh, inputs/outputs carry NamedShardings (batch over 'data');
+    without, a plain jit for single-device use.
+    """
+    step = _build_step(cfg, model, suite)
+
     # GSPMD: the step is a global program. With a mesh the shardings are
     # explicit jit constraints — state replicated, batch split over 'data'
     # — rather than relying purely on input placement; GSPMD then inserts
@@ -203,6 +211,58 @@ def make_train_step(cfg: Config, model, suite: LossSuite,
         return jax.jit(step, donate_argnums=donate_arg,
                        in_shardings=(repl, data_sh, repl))
     return jax.jit(step, donate_argnums=donate_arg)
+
+
+def make_multi_train_step(cfg: Config, model, suite: LossSuite,
+                          mesh: Optional[Mesh] = None,
+                          donate: bool = True) -> Callable:
+    """Returns step_k(state, batches, rng) -> (state, metrics): K train
+    steps in ONE device program via ``lax.scan`` over a stacked batch
+    pytree (leading axis K on every leaf).
+
+    One dispatch + one H2D round trip then covers K optimizer steps —
+    on a high-latency orchestration link (an RPC-tunneled TPU frontend,
+    a congested PCIe host) per-dispatch overhead is the train-loop bound
+    long before device FLOPs are (bench.py train_e2e: 1.5-17 s per
+    dispatch vs a 12.8 ms device step), so amortizing it K-fold is the
+    difference between ~4 and ~hundreds of clips/s fed from the loader.
+    Step i uses ``fold_in(rng, i)``, matching the sequential loop's rng
+    stream exactly: K scanned steps == K make_train_step calls bit-for-bit
+    in f32 (tests/test_parallel.py).
+
+    Each metrics value is the per-step (K,) vector; K is static per
+    compile (stack the same number of loader batches every dispatch)."""
+    step = _build_step(cfg, model, suite)
+
+    def multi(state: TrainState, batches: dict, rng: jax.Array):
+        def body(st, inp):
+            i, batch = inp
+            st, metrics = step(st, batch, jax.random.fold_in(rng, i))
+            return st, metrics
+
+        k = jax.tree_util.tree_leaves(batches)[0].shape[0]
+        state, metrics = jax.lax.scan(body, state,
+                                      (jnp.arange(k, dtype=jnp.int32),
+                                       batches))
+        return state, metrics
+
+    donate_arg = (0,) if donate else ()
+    if mesh is not None:
+        repl = NamedSharding(mesh, P())
+        # (K, B, ...) leaves: batch axis 1 over 'data', K replicated
+        data_sh = NamedSharding(mesh, P(None, "data"))
+        return jax.jit(multi, donate_argnums=donate_arg,
+                       in_shardings=(repl, data_sh, repl))
+    return jax.jit(multi, donate_argnums=donate_arg)
+
+
+def stack_batches(batches: list[dict]) -> dict:
+    """Host-side collation for make_multi_train_step: K loader batches ->
+    one pytree with leading axis K (np.stack per leaf, numeric leaves
+    only — string/object entries like video ids don't ride to device)."""
+    keys = [k for k, v in batches[0].items()
+            if np.asarray(v).dtype.kind not in ("U", "S", "O")]
+    return {k: np.stack([np.asarray(b[k]) for b in batches]) for k in keys}
 
 
 def make_eval_step(cfg: Config, model, suite: LossSuite,

@@ -28,7 +28,7 @@ from .data import (Aff2CompDataset, DataLoader, Prefetcher,
 from .metrics import AccF1Metric, CCCMetric, MultiLabelAccF1, composite_scores
 from .nn import init_model, loss_suite
 from .parallel import TrainState, create_train_state, make_eval_step, \
-    make_train_step
+    make_multi_train_step, make_train_step, stack_batches
 
 
 class AverageMeter:
@@ -202,6 +202,12 @@ def train(cfg: Config, dataset=None, max_steps_per_epoch: int | None = None,
 
     state = create_train_state(cfg, model, variables)
     train_step = make_train_step(cfg, model, suite, mesh)
+    # K>1: scan K steps inside one device program (one dispatch + one H2D
+    # per K optimizer steps — parallel/step.py::make_multi_train_step);
+    # the single-step program still runs the sub-K epoch tail
+    spd = max(int(getattr(cfg, "steps_per_dispatch", 1) or 1), 1)
+    multi_step = (make_multi_train_step(cfg, model, suite, mesh)
+                  if spd > 1 else None)
     eval_step = make_eval_step(cfg, model, suite, mesh)
     dev_keys = device_batch_keys(model, cfg)
     stopper = EarlyStopper(cfg.early_stop_step, cfg.checkpoint_path)
@@ -231,6 +237,7 @@ def train(cfg: Config, dataset=None, max_steps_per_epoch: int | None = None,
         t_epoch = time.time()
         timer = StepTimer()
         tracing = False
+        pend: list = []  # sub-K stack accumulator (steps_per_dispatch > 1)
         while (batch := prefetch.next()) is not None:
             if max_steps_per_epoch and step_i >= max_steps_per_epoch:
                 break
@@ -246,21 +253,49 @@ def train(cfg: Config, dataset=None, max_steps_per_epoch: int | None = None,
                 except Exception as e:  # pragma: no cover
                     logging.warning(f"profiler unavailable: {e}")
                     tracing = False
-            dev_batch = shard_batch(
-                mesh, {k: v for k, v in batch.items() if k in dev_keys})
-            state, metrics = train_step(state, dev_batch, keys())
-            meters["loss"].update(float(metrics["loss"]))
-            timer.mark_step()
-            for k in ("ex", "au", "va"):
-                if k in metrics:
-                    meters[k].update(float(metrics[k]))
-            step_i += 1
+            trimmed = {k: v for k, v in batch.items() if k in dev_keys}
+            if multi_step is not None:
+                pend.append(trimmed)
+                if len(pend) < spd:
+                    timer.mark_step()
+                    continue
+                dev_batch = shard_batch(mesh, stack_batches(pend),
+                                        batch_dim=1)
+                pend = []
+                state, metrics = multi_step(state, dev_batch, keys())
+                losses = np.asarray(metrics["loss"])
+                for v in losses:
+                    meters["loss"].update(float(v))
+                timer.mark_step()
+                for k in ("ex", "au", "va"):
+                    if k in metrics:
+                        for v in np.asarray(metrics[k]):
+                            meters[k].update(float(v))
+                step_i += spd
+            else:
+                dev_batch = shard_batch(mesh, trimmed)
+                state, metrics = train_step(state, dev_batch, keys())
+                meters["loss"].update(float(metrics["loss"]))
+                timer.mark_step()
+                for k in ("ex", "au", "va"):
+                    if k in metrics:
+                        meters[k].update(float(metrics[k]))
+                step_i += 1
             if step_i % cfg.log_every == 0:
                 logging.info(
                     f"epoch {epoch} step {step_i} "
                     f"loss {meters['loss'].avg:.4f} "
                     f"data {timer.data_time * 1e3:.1f}ms "
                     f"step {timer.step_time * 1e3:.1f}ms")
+        # epoch tail shorter than K runs through the single-step program
+        for trimmed in pend:
+            state, metrics = train_step(state, shard_batch(mesh, trimmed),
+                                        keys())
+            meters["loss"].update(float(metrics["loss"]))
+            for k in ("ex", "au", "va"):
+                if k in metrics:
+                    meters[k].update(float(metrics[k]))
+            step_i += 1
         if tracing:
             jax.profiler.stop_trace()
         dt = time.time() - t_epoch

@@ -75,3 +75,17 @@ def test_training_determinism(cfg):
         _, history = train_lib.train(c, max_steps_per_epoch=3, epochs=1)
         losses.append(history[0]["loss"])
     assert losses[0] == pytest.approx(losses[1], rel=1e-6)
+
+
+def test_train_steps_per_dispatch(cfg):
+    """steps_per_dispatch=2 (K scanned steps per device program) trains the
+    same number of steps and finishes with a finite loss; the epoch tail
+    shorter than K falls back to the single-step program."""
+    import copy
+    c = copy.deepcopy(cfg)
+    c.exp_dir = cfg.exp_dir + "_spd"
+    c.steps_per_dispatch = 2
+    state, history = train_lib.train(c, max_steps_per_epoch=3, epochs=1)
+    assert np.isfinite(history[0]["loss"])
+    # 3 loader batches: one K=2 dispatch + a 1-batch tail
+    assert int(state.step) >= 3
