@@ -27,8 +27,8 @@ from .data import (Aff2CompDataset, DataLoader, Prefetcher,
                    SubsetSequentialSampler, shard_indices)
 from .metrics import AccF1Metric, CCCMetric, MultiLabelAccF1, composite_scores
 from .nn import init_model, loss_suite
-from .parallel import TrainState, create_train_state, make_eval_step, \
-    make_multi_train_step, make_train_step, stack_batches
+from .parallel import TrainState, create_train_state, make_device_stacker, \
+    make_eval_step, make_multi_train_step, make_train_step
 
 
 class AverageMeter:
@@ -139,6 +139,13 @@ def host_shard(ids, batch_size: int, host_id: int | None = None,
     assert batch_size % num_hosts == 0, \
         f"global batch {batch_size} not divisible by {num_hosts} hosts"
     local = shard_indices(ids, host_id, num_hosts)
+    dropped = len(ids) - num_hosts * (len(ids) // num_hosts)
+    if dropped:
+        # equal-length truncation: up to num_hosts-1 samples never reach
+        # any host (on the val path this makes multi-host scores knowingly
+        # approximate — on top of the loader's own drop_last)
+        logging.info(f"host_shard: {dropped}/{len(ids)} samples dropped "
+                     f"for equal {num_hosts}-host shard lengths")
     return local[:len(ids) // num_hosts], batch_size // num_hosts
 
 
@@ -208,6 +215,10 @@ def train(cfg: Config, dataset=None, max_steps_per_epoch: int | None = None,
     spd = max(int(getattr(cfg, "steps_per_dispatch", 1) or 1), 1)
     multi_step = (make_multi_train_step(cfg, model, suite, mesh)
                   if spd > 1 else None)
+    # K batches ride K small async H2D puts and are stacked IN HBM — a
+    # host-side np.stack of the K-batch pytree costs seconds of single-core
+    # memcpy per dispatch at raw-audio batch sizes (bench probe 2026-08-19)
+    stacker = make_device_stacker(mesh) if spd > 1 else None
     eval_step = make_eval_step(cfg, model, suite, mesh)
     dev_keys = device_batch_keys(model, cfg)
     stopper = EarlyStopper(cfg.early_stop_step, cfg.checkpoint_path)
@@ -255,12 +266,11 @@ def train(cfg: Config, dataset=None, max_steps_per_epoch: int | None = None,
                     tracing = False
             trimmed = {k: v for k, v in batch.items() if k in dev_keys}
             if multi_step is not None:
-                pend.append(trimmed)
+                pend.append(shard_batch(mesh, trimmed))
                 if len(pend) < spd:
                     timer.mark_step()
                     continue
-                dev_batch = shard_batch(mesh, stack_batches(pend),
-                                        batch_dim=1)
+                dev_batch = stacker(*pend)
                 pend = []
                 state, metrics = multi_step(state, dev_batch, keys())
                 losses = np.asarray(metrics["loss"])
@@ -288,9 +298,9 @@ def train(cfg: Config, dataset=None, max_steps_per_epoch: int | None = None,
                     f"data {timer.data_time * 1e3:.1f}ms "
                     f"step {timer.step_time * 1e3:.1f}ms")
         # epoch tail shorter than K runs through the single-step program
-        for trimmed in pend:
-            state, metrics = train_step(state, shard_batch(mesh, trimmed),
-                                        keys())
+        # (pend entries are already sharded on the mesh)
+        for dev_batch in pend:
+            state, metrics = train_step(state, dev_batch, keys())
             meters["loss"].update(float(metrics["loss"]))
             for k in ("ex", "au", "va"):
                 if k in metrics:

@@ -74,6 +74,13 @@ TRAIN_E2E_STEPS = 10   # measured steps per variant (after 1 warm step);
                        # (2026-08-19 runs), so 24 steps could eat the whole
                        # 'full' attempt cap and lose the section to salvage
 TRAIN_E2E_BATCH = 64   # reference train batch (opts.py:27)
+TRAIN_E2E_SPD = 8      # steps_per_dispatch for the device-frontend variant:
+                       # K scanned optimizer steps per device program
+                       # (parallel/step.py::make_multi_train_step) amortize
+                       # the tunnel's 50 ms - 2 s per-dispatch cost K-fold
+TRAIN_E2E_STEPS_SPD = 24  # measured steps for the K-dispatch variant (3
+                          # dispatches of K=8); bounded: a bad mood costs
+                          # ~2 s per DISPATCH, not per step
 
 _T0 = time.monotonic()
 
@@ -257,7 +264,7 @@ def measure(sections: list[str], use_pallas: bool, cpu_mode: bool,
         "train_step_ms": None, "train_step_ms_no_pallas": None,
         "train_e2e_clips_per_sec": None, "train_e2e_stall_frac": None,
         "train_e2e_device_front_clips_per_sec": None,
-        "train_e2e_device_front_stall_frac": None,
+        "train_e2e_device_front_stall_frac": None, "train_e2e_spd": None,
         "train_loader_clips_per_sec": None,
         "train_loader_device_front_clips_per_sec": None,
         "backend": jax.default_backend(), "pallas": bool(use_pallas),
@@ -612,6 +619,13 @@ def measure(sections: list[str], use_pallas: bool, cpu_mode: bool,
                 steady["clips_per_sec"], 2)
             out["e2e_packed"] = packed
             out["e2e_clips"] = steady["clips"]
+            # stage attribution of the best steady pass (decode = host JPEG
+            # child; sweep = pack/dispatch/fetch incl. the final D2H sync)
+            out["e2e_decode_seconds"] = round(
+                steady.get("decode_seconds", 0.0), 2)
+            out["e2e_sweep_seconds"] = round(
+                steady.get("sweep_seconds", 0.0), 2)
+            out["e2e_wall_seconds"] = round(steady["seconds"], 2)
             out["sections_done"].append("e2e")
             _progress(f"e2e done: cold {cold['clips_per_sec']:.0f}, "
                       f"steady {steady['clips_per_sec']:.0f} clips/s "
@@ -631,13 +645,15 @@ def measure(sections: list[str], use_pallas: bool, cpu_mode: bool,
             # the attempt cap cuts the second variant
             wd.section("train_e2e setup", 300)
             dev = _train_e2e_rate(cfg, model, variables, wd,
-                                  device_front=True)
+                                  device_front=True, spd=TRAIN_E2E_SPD)
             out["train_e2e_device_front_clips_per_sec"] = \
                 dev["clips_per_sec"]
             out["train_e2e_device_front_stall_frac"] = dev["stall_frac"]
+            out["train_e2e_spd"] = TRAIN_E2E_SPD
             out["train_loader_device_front_clips_per_sec"] = \
                 dev["loader_clips_per_sec"]
-            _progress("train_e2e device-frontend: "
+            _progress("train_e2e device-frontend (K="
+                      f"{TRAIN_E2E_SPD} steps/dispatch): "
                       f"{dev['clips_per_sec']:.0f} clips/s (loader-only "
                       f"{dev['loader_clips_per_sec']:.0f}), stall "
                       f"{dev['stall_frac']:.2f} ({dev['steps']} steps)")
@@ -670,7 +686,7 @@ def measure(sections: list[str], use_pallas: bool, cpu_mode: bool,
 
 
 def _train_e2e_rate(cfg, model, variables, wd,
-                    device_front: bool) -> dict:
+                    device_front: bool, spd: int = 1) -> dict:
     """Loader-fed training throughput over the FrameStore fixture: real
     ``train_step``s consuming batches from the threaded DataLoader +
     Prefetcher + shard_batch — the full input path the reference runs
@@ -678,7 +694,11 @@ def _train_e2e_rate(cfg, model, variables, wd,
     aff2compdataset.py:114-175; SURVEY §3.2). ``device_front=True``
     additionally moves AutoAugment + the mel frontend into the jitted
     step (cfg.device_augment/device_audio), leaving the host only JPEG
-    decode + wav reads.
+    decode + wav reads. ``spd > 1`` dispatches K scanned optimizer steps
+    per device program (make_multi_train_step) — through this box's RPC
+    tunnel the 50 ms - 2 s per-dispatch cost, not device FLOPs, bounds the
+    single-step loop, so K-fold amortization is the production train mode
+    (cfg.steps_per_dispatch).
 
     Returns clips/s and the data-stall fraction: the share of wall time
     the host loop spent blocked waiting for the next host batch (device
@@ -693,7 +713,8 @@ def _train_e2e_rate(cfg, model, variables, wd,
     from auformer.data.samplers import (DataLoader, Prefetcher,
                                         SubsetSequentialSampler)
     from auformer.nn import loss_suite
-    from auformer.parallel import create_train_state, make_train_step
+    from auformer.parallel import (create_train_state, make_device_stacker,
+                                   make_multi_train_step, make_train_step)
     from auformer.train_lib import device_batch_keys
 
     root, labels, cache = _ensure_train_dataset()
@@ -716,7 +737,8 @@ def _train_e2e_rate(cfg, model, variables, wd,
     import jax.numpy as jnp
     variables = jax.tree_util.tree_map(jnp.copy, variables)
     state = create_train_state(tcfg, model, variables)
-    step = make_train_step(tcfg, model, suite, mesh)
+    step = (make_multi_train_step(tcfg, model, suite, mesh) if spd > 1
+            else make_train_step(tcfg, model, suite, mesh))
     keep = device_batch_keys(model, tcfg)
     rng = jax.random.PRNGKey(3)
 
@@ -750,26 +772,48 @@ def _train_e2e_rate(cfg, model, variables, wd,
         pass
 
     prefetch = make_prefetch()
+    stacker = make_device_stacker(mesh) if spd > 1 else None
 
-    # warm step: loader spin-up + train-step compile outside the clock
+    def pull_group():
+        """spd trimmed loader batches -> one stacked (K, B, ...) pytree on
+        the mesh (batch axis 1 over 'data'); None at epoch end. Each batch
+        rides its own async H2D put and the stack happens IN HBM
+        (make_device_stacker) — host-side np.stack of the K-batch pytree
+        costs 3-14 s of single-core memcpy per dispatch on this box."""
+        group = []
+        while len(group) < spd:
+            b = prefetch.next()
+            if b is None:
+                return None
+            group.append(shard_batch(mesh, trim(b)))
+        if spd == 1:
+            return group[0]
+        return stacker(*group)
+
+    # warm steps: loader spin-up + train-step compile outside the clock.
+    # TWO warm dispatches: the donated output state's layouts can differ
+    # from the fresh state's, forcing a SECOND compile variant on the
+    # first post-warm dispatch (measured ~225 s cold through the tunnel —
+    # probe_spd5 2026-08-19); warming twice covers both variants.
     wd.section("train_e2e warm/compile", 900)
-    batch = prefetch.next()
-    state, _ = step(state, shard_batch(mesh, trim(batch)), rng)
-    jax.tree_util.tree_leaves(state.params)[0].block_until_ready()
+    for w in range(2):
+        state, _ = step(state, pull_group(), jax.random.fold_in(rng, 100 + w))
+        jax.tree_util.tree_leaves(state.params)[0].block_until_ready()
 
+    n_steps = TRAIN_E2E_STEPS_SPD if spd > 1 else TRAIN_E2E_STEPS
     wd.section("train_e2e measure", 600)
     t_data = 0.0
     steps = 0
     t0 = time.perf_counter()
-    while steps < TRAIN_E2E_STEPS:
+    while steps < n_steps:
         td = time.perf_counter()
-        batch = prefetch.next()
+        dev_batch = pull_group()  # host wait + stack + H2D inside t_data
         t_data += time.perf_counter() - td
-        if batch is None:
+        if dev_batch is None:
             break
-        state, _ = step(state, shard_batch(mesh, trim(batch)),
+        state, _ = step(state, dev_batch,
                         jax.random.fold_in(rng, steps))
-        steps += 1
+        steps += spd
     jax.tree_util.tree_leaves(state.params)[0].block_until_ready()
     wall = time.perf_counter() - t0
     # drain the loader threads so the next variant starts clean

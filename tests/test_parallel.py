@@ -86,7 +86,8 @@ def test_multi_train_step_matches_sequential(setup):
     """K steps scanned inside ONE device program (make_multi_train_step)
     must equal K sequential make_train_step dispatches — same rng stream
     (fold_in(rng, i)), same BN stat evolution, same final params."""
-    from auformer.parallel import make_multi_train_step, stack_batches
+    from auformer.parallel import (make_device_stacker,
+                                   make_multi_train_step, stack_batches)
 
     cfg, model, variables, suite, batch = setup
     rng = jax.random.PRNGKey(11)
@@ -111,6 +112,20 @@ def test_multi_train_step_matches_sequential(setup):
     multi = make_multi_train_step(cfg, model, suite, mesh, donate=False)
     stacked = shard_batch(mesh, stack_batches(batches), batch_dim=1)
     assert stacked["clip"].shape == (k,) + batch["clip"].shape
+
+    # the device-side stacker (K async per-batch H2D puts + one in-HBM
+    # stack — the production K-dispatch input path) must build the same
+    # (K, B, ...) pytree with the same (None, 'data') sharding
+    stacker = make_device_stacker(mesh)
+    dev_stacked = stacker(*[shard_batch(mesh, {kk: v for kk, v in b.items()
+                                               if kk in stacked})
+                            for b in batches])
+    for kk in stacked:
+        np.testing.assert_array_equal(np.asarray(dev_stacked[kk]),
+                                      np.asarray(stacked[kk]))
+        assert dev_stacked[kk].sharding.is_equivalent_to(
+            stacked[kk].sharding, stacked[kk].ndim)
+
     state_k, mk = multi(state_k, stacked, rng)
 
     # step-0 losses agree exactly; later steps see reduction-order float
