@@ -71,6 +71,11 @@ class Config:
                                           # __getitem__, aff2compdataset.py:227-238)
     mel_bf16: bool = False                # opt-in bf16 DFT conv in the mel frontend
                                           # (~0.05 dB error, ~4x MXU rate; NOT bit-faithful)
+    audio_arena_mb: float = 4096.0        # HBM budget for the resident wav arena
+                                          # (device_audio: videos' waveforms upload
+                                          # once; batches carry int32 window offsets
+                                          # instead of 1.76 MB raw windows). 0 = off,
+                                          # over-budget datasets fall back to windows.
     steps_per_dispatch: int = 1           # K optimizer steps per device program
                                           # (lax.scan over stacked loader batches);
                                           # amortizes per-dispatch overhead on
@@ -191,6 +196,7 @@ def build_parser() -> argparse.ArgumentParser:
     tpu.add_argument("--profile_dir", type=str, default="")
     tpu.add_argument("--device_augment", action="store_true")
     tpu.add_argument("--device_audio", action="store_true")
+    tpu.add_argument("--audio_arena_mb", type=float, default=4096.0)
     tpu.add_argument("--mel_bf16", action="store_true")
     tpu.add_argument("--steps_per_dispatch", type=int, default=1)
     return p

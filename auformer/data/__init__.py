@@ -4,10 +4,12 @@ from .samplers import (DataLoader, Prefetcher, SubsetRandomSampler,
 from .dataset import Aff2CompDataset
 from .testset import Aff2TestDataset
 from .split import create_dataset_split
+from .wav_arena import WavArena, build_wav_arena
 
 __all__ = [
     "FrameStore", "FrameStoreWriter", "open_store",
     "DataLoader", "Prefetcher", "SubsetRandomSampler",
     "SubsetSequentialSampler", "collate", "shard_indices",
     "Aff2CompDataset", "Aff2TestDataset", "create_dataset_split",
+    "WavArena", "build_wav_arena",
 ]

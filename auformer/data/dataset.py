@@ -104,6 +104,10 @@ class Aff2CompDataset:
         self.audio_shift_samples = cfg.audio_shift_samples
         self.n_mels = cfg.n_mels
         self.audio_on_device = bool(getattr(cfg, "device_audio", False))
+        # set via set_audio_arena(): samples then carry int32 window
+        # (offset, n_valid) into the HBM-resident wav arena instead of the
+        # raw (1, 441000) float32 window (data/wav_arena.py)
+        self.wav_arena = None
 
         self._load_split()
 
@@ -343,6 +347,13 @@ class Aff2CompDataset:
         buf[:, :n_valid] = audio
         return buf, n_valid
 
+    def set_audio_arena(self, arena) -> None:
+        """Switch device-audio samples to arena offsets (data/wav_arena.py):
+        ``audio_ofs``/``audio_len`` int32 scalars instead of the raw
+        (1, sample_len) float32 window — no per-sample wav read, ~1.76 MB
+        less H2D per clip. Pass None to revert to window shipping."""
+        self.wav_arena = arena
+
     def __getitem__(self, index: int) -> dict:
         data = {"Index": index}
         video_id = os.path.dirname(self.image_path[index])
@@ -365,7 +376,13 @@ class Aff2CompDataset:
         data["clip"] = clip  # uint8 (T,H,W,C); device normalizes
 
         if self.use_audio and "audio_features" in self.modes:
-            if self.audio_on_device:
+            if self.audio_on_device and self.wav_arena is not None:
+                ofs, n_valid = self.wav_arena.window(
+                    video_id, self.time_stamps[index], self.sample_rate,
+                    self.audio_shift_samples)
+                data["audio_ofs"] = np.int32(ofs)
+                data["audio_len"] = np.int32(n_valid)
+            elif self.audio_on_device:
                 audio, n_valid = self.get_audio_window(video_id, index)
                 data["audio"] = audio
                 data["audio_len"] = np.int32(n_valid)

@@ -123,20 +123,68 @@ class DataLoader:
 
 class Prefetcher:
     """One-ahead prefetch on a background thread (upgrades the reference's
-    synchronous Prefetcher, dataloader/utils.py:32-48, to true overlap)."""
+    synchronous Prefetcher, dataloader/utils.py:32-48, to true overlap).
+
+    ``stop()`` abandons the rest of the epoch and joins the producer —
+    callers that break out early (benchmarks, step-capped epochs) would
+    otherwise leave decode threads burning CPU behind the next consumer."""
 
     def __init__(self, loader: Iterable, depth: int = 2):
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._done = object()
+        self._stop_ev = threading.Event()
+        self._finished = False
 
         def run():
-            for item in loader:
-                self._q.put(item)
-            self._q.put(self._done)
+            it = iter(loader)
+            try:
+                while not self._stop_ev.is_set():
+                    try:
+                        item = next(it)
+                    except StopIteration:
+                        break
+                    while not self._stop_ev.is_set():
+                        try:
+                            self._q.put(item, timeout=0.1)
+                            break
+                        except queue.Full:
+                            pass
+            finally:
+                # drop the generator: DataLoader.__iter__ unwinds its
+                # thread-pool context (waits for in-flight __getitem__s)
+                it = None
+                while True:
+                    try:
+                        self._q.put(self._done, timeout=0.1)
+                        break
+                    except queue.Full:
+                        try:
+                            self._q.get_nowait()
+                        except queue.Empty:
+                            pass
 
         self._t = threading.Thread(target=run, daemon=True)
         self._t.start()
 
     def next(self):
+        if self._finished:
+            return None
         item = self._q.get()
-        return None if item is self._done else item
+        if item is self._done:
+            self._finished = True
+            return None
+        return item
+
+    def stop(self) -> None:
+        """Abandon the remaining epoch: signal the producer, drain the
+        queue to its done sentinel, join. Idempotent; a no-op after the
+        loader was consumed to exhaustion."""
+        if self._finished:
+            return
+        self._stop_ev.set()
+        while True:
+            item = self._q.get()
+            if item is self._done:
+                break
+        self._finished = True
+        self._t.join(timeout=60)

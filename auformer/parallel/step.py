@@ -106,18 +106,46 @@ def create_train_state(cfg: Config, model, variables) -> TrainState:
                       opt_state=opt_state, tx=tx)
 
 
+def gather_arena_windows(arena: jax.Array, ofs: jax.Array,
+                         n_valid: jax.Array, sample_len: int) -> jax.Array:
+    """(B,) int32 arena offsets + valid counts -> (B, sample_len) float32
+    left-aligned windows, bitwise equal to the host-built buffers of
+    ``Aff2CompDataset.get_audio_window`` (zeros past n_valid; a slice that
+    crosses a video boundary in the packed arena is masked back to zero,
+    so no inter-video padding is required)."""
+    def win(o):
+        return jax.lax.dynamic_slice(arena, (o,), (sample_len,))
+
+    raw = jax.vmap(win)(ofs.reshape(-1).astype(jnp.int32))
+    keep = (jnp.arange(sample_len, dtype=jnp.int32)[None, :]
+            < n_valid.reshape(-1, 1).astype(jnp.int32))
+    return raw * keep.astype(raw.dtype)
+
+
 def prep_batch(batch: dict, train: bool, flip_rng=None,
                device_augment: bool = False, aug_rng=None,
-               device_audio: bool = False) -> dict:
+               device_audio: bool = False, arena=None,
+               sample_len: int = 441000) -> dict:
     """Device-side preprocessing: optional on-device AutoAugment (uint8
     domain), then /255+normalize; optional train-time whole-clip flip (eval
     never augments); optional on-device mel frontend (``device_audio``:
     the loader ships raw left-aligned windows + valid lengths instead of
     host-computed log-mels — ops.audio.reflect_end_patch + left-aligned
     audio_frontend reproduce the reference's per-window features exactly
-    for windows >= 513 samples)."""
+    for windows >= 513 samples). With ``arena`` (an HBM-resident packed
+    wav buffer, data/wav_arena.py) the batch carries int32 ``audio_ofs``
+    instead of raw windows and the gather happens here."""
     x = dict(batch)
-    if device_audio and "audio_features" not in x and "audio" in x \
+    if device_audio and "audio_features" not in x and "audio_ofs" in x \
+            and "audio_len" in x and arena is not None:
+        from ..ops.audio import HOP_LENGTH, audio_frontend, reflect_end_patch
+        raw = gather_arena_windows(arena, x["audio_ofs"], x["audio_len"],
+                                   sample_len)
+        n_valid = x["audio_len"].reshape(-1).astype(jnp.int32)
+        raw = reflect_end_patch(raw, n_valid)
+        x["audio_features"] = audio_frontend(
+            raw, feature_len=1 + n_valid // HOP_LENGTH, left_aligned=True)
+    elif device_audio and "audio_features" not in x and "audio" in x \
             and "audio_len" in x:
         from ..ops.audio import HOP_LENGTH, audio_frontend, reflect_end_patch
         raw = x["audio"][:, 0, :].astype(jnp.float32)
@@ -163,12 +191,14 @@ def _build_step(cfg: Config, model, suite: LossSuite) -> Callable:
     """The un-jitted train-step body shared by make_train_step (one step
     per dispatch) and make_multi_train_step (K steps per dispatch)."""
     task = cfg.task
+    sample_len = int(getattr(cfg, "sample_len_frames", 441000))
 
-    def step(state: TrainState, batch: dict, rng: jax.Array):
+    def step(state: TrainState, batch: dict, rng: jax.Array, arena=None):
         flip_rng, drop_rng, aug_rng = jax.random.split(rng, 3)
         x = prep_batch(batch, train=True, flip_rng=flip_rng,
                        device_augment=cfg.device_augment, aug_rng=aug_rng,
-                       device_audio=cfg.device_audio)
+                       device_audio=cfg.device_audio, arena=arena,
+                       sample_len=sample_len)
         labels = _labels_of(batch)
         modes = set(getattr(model, "modes", x.keys()))
         x = {k: v for k, v in x.items() if k in modes}
@@ -192,8 +222,13 @@ def _build_step(cfg: Config, model, suite: LossSuite) -> Callable:
 
 def make_train_step(cfg: Config, model, suite: LossSuite,
                     mesh: Optional[Mesh] = None,
-                    donate: bool = True) -> Callable:
-    """Returns step(state, batch, rng) -> (state, metrics), jitted.
+                    donate: bool = True,
+                    with_arena: bool = False) -> Callable:
+    """Returns step(state, batch, rng) -> (state, metrics), jitted —
+    step(state, batch, rng, arena) with ``with_arena`` (the HBM-resident
+    wav buffer rides as an explicit replicated argument, never a closure:
+    a captured device array would be embedded as a program constant and
+    re-fetched at trace time).
 
     With a mesh, inputs/outputs carry NamedShardings (batch over 'data');
     without, a plain jit for single-device use.
@@ -205,17 +240,24 @@ def make_train_step(cfg: Config, model, suite: LossSuite,
     # — rather than relying purely on input placement; GSPMD then inserts
     # the grad/BN-stat psum collectives over ICI automatically.
     donate_arg = (0,) if donate else ()
+    if not with_arena:
+        def step2(state, batch, rng):
+            return step(state, batch, rng)
+    else:
+        step2 = step
     if mesh is not None:
         repl = NamedSharding(mesh, P())
         data_sh = NamedSharding(mesh, P("data"))
-        return jax.jit(step, donate_argnums=donate_arg,
-                       in_shardings=(repl, data_sh, repl))
-    return jax.jit(step, donate_argnums=donate_arg)
+        shardings = (repl, data_sh, repl) + ((repl,) if with_arena else ())
+        return jax.jit(step2, donate_argnums=donate_arg,
+                       in_shardings=shardings)
+    return jax.jit(step2, donate_argnums=donate_arg)
 
 
 def make_multi_train_step(cfg: Config, model, suite: LossSuite,
                           mesh: Optional[Mesh] = None,
-                          donate: bool = True) -> Callable:
+                          donate: bool = True,
+                          with_arena: bool = False) -> Callable:
     """Returns step_k(state, batches, rng) -> (state, metrics): K train
     steps in ONE device program via ``lax.scan`` over a stacked batch
     pytree (leading axis K on every leaf).
@@ -234,10 +276,12 @@ def make_multi_train_step(cfg: Config, model, suite: LossSuite,
     compile (stack the same number of loader batches every dispatch)."""
     step = _build_step(cfg, model, suite)
 
-    def multi(state: TrainState, batches: dict, rng: jax.Array):
+    def multi(state: TrainState, batches: dict, rng: jax.Array,
+              arena=None):
         def body(st, inp):
             i, batch = inp
-            st, metrics = step(st, batch, jax.random.fold_in(rng, i))
+            st, metrics = step(st, batch, jax.random.fold_in(rng, i),
+                               arena)
             return st, metrics
 
         k = jax.tree_util.tree_leaves(batches)[0].shape[0]
@@ -247,13 +291,19 @@ def make_multi_train_step(cfg: Config, model, suite: LossSuite,
         return state, metrics
 
     donate_arg = (0,) if donate else ()
+    if not with_arena:
+        def multi2(state, batches, rng):
+            return multi(state, batches, rng)
+    else:
+        multi2 = multi
     if mesh is not None:
         repl = NamedSharding(mesh, P())
         # (K, B, ...) leaves: batch axis 1 over 'data', K replicated
         data_sh = NamedSharding(mesh, P(None, "data"))
-        return jax.jit(multi, donate_argnums=donate_arg,
-                       in_shardings=(repl, data_sh, repl))
-    return jax.jit(multi, donate_argnums=donate_arg)
+        shardings = (repl, data_sh, repl) + ((repl,) if with_arena else ())
+        return jax.jit(multi2, donate_argnums=donate_arg,
+                       in_shardings=shardings)
+    return jax.jit(multi2, donate_argnums=donate_arg)
 
 
 def stack_batches(batches: list[dict]) -> dict:
@@ -287,11 +337,14 @@ def make_device_stacker(mesh: Optional[Mesh] = None) -> Callable:
 
 
 def make_eval_step(cfg: Config, model, suite: LossSuite,
-                   mesh: Optional[Mesh] = None) -> Callable:
+                   mesh: Optional[Mesh] = None,
+                   with_arena: bool = False) -> Callable:
     task = cfg.task
+    sample_len = int(getattr(cfg, "sample_len_frames", 441000))
 
-    def step(params, batch_stats, batch: dict):
-        x = prep_batch(batch, train=False, device_audio=cfg.device_audio)
+    def step(params, batch_stats, batch: dict, arena=None):
+        x = prep_batch(batch, train=False, device_audio=cfg.device_audio,
+                       arena=arena, sample_len=sample_len)
         labels = _labels_of(batch)
         modes = set(getattr(model, "modes", x.keys()))
         x = {k: v for k, v in x.items() if k in modes}
@@ -300,8 +353,14 @@ def make_eval_step(cfg: Config, model, suite: LossSuite,
         loss, _ = task_loss(suite, task, out, labels)
         return out.astype(jnp.float32), loss
 
+    if not with_arena:
+        def step2(params, batch_stats, batch):
+            return step(params, batch_stats, batch)
+    else:
+        step2 = step
     if mesh is not None:
         repl = NamedSharding(mesh, P())
         data_sh = NamedSharding(mesh, P("data"))
-        return jax.jit(step, in_shardings=(repl, repl, data_sh))
-    return jax.jit(step)
+        shardings = (repl, repl, data_sh) + ((repl,) if with_arena else ())
+        return jax.jit(step2, in_shardings=shardings)
+    return jax.jit(step2)

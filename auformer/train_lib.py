@@ -69,17 +69,19 @@ def _gather_eval_rows(out, batch):
     return gathered[0], gathered[1]
 
 
-def device_batch_keys(model, cfg) -> set:
+def device_batch_keys(model, cfg, arena: bool = False) -> set:
     """Keys worth uploading to the device for a step: model inputs +
-    labels (+ raw audio when the mel frontend runs on device). The
-    collated host batch also carries entries the step never reads —
-    notably the raw (B, 1, 441000) float32 ``audio`` the reference
-    dataset returns alongside host mels (aff2compdataset.py:243-247),
-    113 MB/64-batch that would otherwise ride every H2D transfer."""
+    labels (+ raw audio when the mel frontend runs on device; just the
+    int32 window offsets in wav-arena mode). The collated host batch
+    also carries entries the step never reads — notably the raw
+    (B, 1, 441000) float32 ``audio`` the reference dataset returns
+    alongside host mels (aff2compdataset.py:243-247), 113 MB/64-batch
+    that would otherwise ride every H2D transfer."""
     keys = set(getattr(model, "modes", ("clip", "audio_features")))
     keys |= {"AU", "EX", "VA"}
     if getattr(cfg, "device_audio", False):
-        keys |= {"audio", "audio_len"}
+        keys |= ({"audio_ofs", "audio_len"} if arena
+                 else {"audio", "audio_len"})
         keys.discard("audio_features")  # computed inside the step
     return keys
 
@@ -207,20 +209,43 @@ def train(cfg: Config, dataset=None, max_steps_per_epoch: int | None = None,
     cfg.steps_per_epoch = int((dataset.train_ids * downsample).sum()
                               // max(cfg.batch_size, 1))
 
+    # HBM-resident wav arena (device_audio): each video's waveform uploads
+    # once; batches then carry int32 window offsets instead of 1.76 MB raw
+    # windows (data/wav_arena.py). Capacity-gated — None falls back to
+    # window shipping transparently.
+    arena = None
+    if cfg.device_audio and "A" in cfg.modality.split(";") \
+            and getattr(cfg, "audio_arena_mb", 0) > 0 \
+            and "audio_features" in getattr(model, "modes", ()):
+        from .core.mesh import replicated_sharding
+        from .data.wav_arena import build_wav_arena
+        plan = build_wav_arena(dataset, cap_mb=cfg.audio_arena_mb,
+                               sample_len=cfg.sample_len_frames)
+        if plan is not None:
+            dataset.set_audio_arena(plan)
+            arena = (jax.device_put(plan.arena, replicated_sharding(mesh))
+                     if mesh is not None else jax.device_put(plan.arena))
+    step_args = (arena,) if arena is not None else ()
+
     state = create_train_state(cfg, model, variables)
-    train_step = make_train_step(cfg, model, suite, mesh)
+    train_step = make_train_step(cfg, model, suite, mesh,
+                                 with_arena=arena is not None)
     # K>1: scan K steps inside one device program (one dispatch + one H2D
     # per K optimizer steps — parallel/step.py::make_multi_train_step);
     # the single-step program still runs the sub-K epoch tail
     spd = max(int(getattr(cfg, "steps_per_dispatch", 1) or 1), 1)
-    multi_step = (make_multi_train_step(cfg, model, suite, mesh)
+    multi_step = (make_multi_train_step(cfg, model, suite, mesh,
+                                        with_arena=arena is not None)
                   if spd > 1 else None)
     # K batches ride K small async H2D puts and are stacked IN HBM — a
     # host-side np.stack of the K-batch pytree costs seconds of single-core
     # memcpy per dispatch at raw-audio batch sizes (bench probe 2026-08-19)
     stacker = make_device_stacker(mesh) if spd > 1 else None
-    eval_step = make_eval_step(cfg, model, suite, mesh)
-    dev_keys = device_batch_keys(model, cfg)
+    _eval_step = make_eval_step(cfg, model, suite, mesh,
+                                with_arena=arena is not None)
+    eval_step = ((lambda p, bs, b: _eval_step(p, bs, b, arena))
+                 if arena is not None else _eval_step)
+    dev_keys = device_batch_keys(model, cfg, arena=arena is not None)
     stopper = EarlyStopper(cfg.early_stop_step, cfg.checkpoint_path)
 
     epochs = epochs if epochs is not None else cfg.epochs
@@ -272,7 +297,8 @@ def train(cfg: Config, dataset=None, max_steps_per_epoch: int | None = None,
                     continue
                 dev_batch = stacker(*pend)
                 pend = []
-                state, metrics = multi_step(state, dev_batch, keys())
+                state, metrics = multi_step(state, dev_batch, keys(),
+                                            *step_args)
                 losses = np.asarray(metrics["loss"])
                 for v in losses:
                     meters["loss"].update(float(v))
@@ -284,7 +310,8 @@ def train(cfg: Config, dataset=None, max_steps_per_epoch: int | None = None,
                 step_i += spd
             else:
                 dev_batch = shard_batch(mesh, trimmed)
-                state, metrics = train_step(state, dev_batch, keys())
+                state, metrics = train_step(state, dev_batch, keys(),
+                                            *step_args)
                 meters["loss"].update(float(metrics["loss"]))
                 timer.mark_step()
                 for k in ("ex", "au", "va"):
@@ -297,10 +324,15 @@ def train(cfg: Config, dataset=None, max_steps_per_epoch: int | None = None,
                     f"loss {meters['loss'].avg:.4f} "
                     f"data {timer.data_time * 1e3:.1f}ms "
                     f"step {timer.step_time * 1e3:.1f}ms")
+        # a step-capped epoch (max_steps_per_epoch) leaves the producer
+        # mid-epoch: stop it so its decode threads don't contend with the
+        # next epoch's loader (no-op after normal exhaustion)
+        prefetch.stop()
         # epoch tail shorter than K runs through the single-step program
         # (pend entries are already sharded on the mesh)
         for dev_batch in pend:
-            state, metrics = train_step(state, dev_batch, keys())
+            state, metrics = train_step(state, dev_batch, keys(),
+                                        *step_args)
             meters["loss"].update(float(metrics["loss"]))
             for k in ("ex", "au", "va"):
                 if k in metrics:

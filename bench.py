@@ -731,15 +731,31 @@ def _train_e2e_rate(cfg, model, variables, wd,
 
     mesh = make_mesh()
     suite = loss_suite(model)
+    # device-front production mode: HBM-resident wav arena — videos'
+    # waveforms upload once; batches carry int32 window offsets instead of
+    # 1.76 MB/clip raw windows (~900 MB per K=8 dispatch through the
+    # tunnel — data/wav_arena.py)
+    arena = None
+    if device_front and "audio_features" in model.modes:
+        from auformer.data.wav_arena import build_wav_arena
+        plan = build_wav_arena(ds, cap_mb=tcfg.audio_arena_mb)
+        if plan is not None:
+            ds.set_audio_arena(plan)
+            from auformer.core.mesh import replicated_sharding
+            arena = jax.device_put(plan.arena, replicated_sharding(mesh)) \
+                if mesh is not None else jax.device_put(plan.arena)
+    step_args = (arena,) if arena is not None else ()
     # private param copy: the production train step DONATES its state, so
     # running it would delete the shared `variables` buffers the other
     # bench sections (and the second variant) still need
     import jax.numpy as jnp
     variables = jax.tree_util.tree_map(jnp.copy, variables)
     state = create_train_state(tcfg, model, variables)
-    step = (make_multi_train_step(tcfg, model, suite, mesh) if spd > 1
-            else make_train_step(tcfg, model, suite, mesh))
-    keep = device_batch_keys(model, tcfg)
+    wa = arena is not None
+    step = (make_multi_train_step(tcfg, model, suite, mesh, with_arena=wa)
+            if spd > 1
+            else make_train_step(tcfg, model, suite, mesh, with_arena=wa))
+    keep = device_batch_keys(model, tcfg, arena=wa)
     rng = jax.random.PRNGKey(3)
 
     def make_prefetch():
@@ -768,8 +784,8 @@ def _train_e2e_rate(cfg, model, variables, wd,
         lsteps += 1
     loader_rate = lsteps * tcfg.batch_size / max(time.perf_counter() - t0,
                                                  1e-6)
-    while prefetch.next() is not None:  # drain threads
-        pass
+    prefetch.stop()  # abandon the rest of the epoch (103 batches would
+    # take minutes at host-mel rates and trip the section watchdog)
 
     prefetch = make_prefetch()
     stacker = make_device_stacker(mesh) if spd > 1 else None
@@ -797,7 +813,8 @@ def _train_e2e_rate(cfg, model, variables, wd,
     # probe_spd5 2026-08-19); warming twice covers both variants.
     wd.section("train_e2e warm/compile", 900)
     for w in range(2):
-        state, _ = step(state, pull_group(), jax.random.fold_in(rng, 100 + w))
+        state, _ = step(state, pull_group(),
+                        jax.random.fold_in(rng, 100 + w), *step_args)
         jax.tree_util.tree_leaves(state.params)[0].block_until_ready()
 
     n_steps = TRAIN_E2E_STEPS_SPD if spd > 1 else TRAIN_E2E_STEPS
@@ -812,13 +829,12 @@ def _train_e2e_rate(cfg, model, variables, wd,
         if dev_batch is None:
             break
         state, _ = step(state, dev_batch,
-                        jax.random.fold_in(rng, steps))
+                        jax.random.fold_in(rng, steps), *step_args)
         steps += spd
     jax.tree_util.tree_leaves(state.params)[0].block_until_ready()
     wall = time.perf_counter() - t0
-    # drain the loader threads so the next variant starts clean
-    while prefetch.next() is not None:
-        pass
+    # stop the loader threads so the next variant starts clean
+    prefetch.stop()
     clips = steps * tcfg.batch_size
     return {"clips_per_sec": round(clips / wall, 2) if wall > 0 else 0.0,
             "stall_frac": round(t_data / wall, 3) if wall > 0 else 0.0,

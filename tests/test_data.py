@@ -136,6 +136,24 @@ def test_prefetcher(dataset_dirs):
         n += 1
         assert batch["clip"].shape[0] == 8
     assert n == 2
+    pf.stop()  # no-op after exhaustion
+    assert pf.next() is None
+
+
+def test_prefetcher_stop_midstream(dataset_dirs):
+    """stop() abandons the remaining epoch: the producer thread joins and
+    subsequent next() returns None (bench/step-capped-epoch early exit)."""
+    cfg = make_cfg(dataset_dirs, modality="V")
+    ds = Aff2CompDataset(cfg)
+    ids = np.nonzero(ds.train_ids)[0][:64]
+    loader = DataLoader(ds, batch_size=8,
+                        sampler=SubsetSequentialSampler(ids), num_threads=2)
+    pf = Prefetcher(loader)
+    assert pf.next() is not None
+    pf.stop()
+    assert not pf._t.is_alive()
+    assert pf.next() is None
+    pf.stop()  # idempotent
 
 
 def test_augmentation_changes_clip_and_is_deterministic(dataset_dirs):

@@ -143,6 +143,94 @@ def test_train_step_device_audio(dataset_dirs):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_wav_arena_windows_bitwise(dataset_dirs):
+    """Arena-gathered windows equal the host get_audio_window buffers
+    bitwise (same offsets/valid counts, zero tail), incl. the missing-wav
+    fallback onto the zero region."""
+    from auformer.data.wav_arena import build_wav_arena
+    from auformer.parallel.step import gather_arena_windows
+
+    cfg = make_cfg(dataset_dirs, device_audio=True)
+    ds = Aff2CompDataset(cfg)
+    ds.set_modes(["clip", "audio_features"])
+    plan = build_wav_arena(ds, cap_mb=256)
+    assert plan is not None and len(plan.table) == 2
+    # zero region really is zero
+    assert np.all(plan.arena[plan.zero_ofs:plan.zero_ofs
+                             + plan.sample_len] == 0)
+
+    idx = [0, 5, len(ds) - 1]
+    want, ofs, ln = [], [], []
+    for i in idx:
+        vid = os.path.dirname(ds.image_path[i])
+        buf, n = ds.get_audio_window(vid, i)
+        o, nv = plan.window(vid, ds.time_stamps[i], ds.sample_rate,
+                            ds.audio_shift_samples)
+        assert nv == n
+        want.append(buf[0])
+        ofs.append(o)
+        ln.append(nv)
+    got = gather_arena_windows(jnp.asarray(plan.arena),
+                               jnp.asarray(ofs, jnp.int32),
+                               jnp.asarray(ln, jnp.int32),
+                               ds.sample_len_frames)
+    np.testing.assert_array_equal(np.asarray(got), np.stack(want))
+
+    # missing wav -> full zero window, like the host zero-buffer substitute
+    o, nv = plan.window("no_such_video", 500.0, ds.sample_rate,
+                        ds.audio_shift_samples)
+    assert (o, nv) == (plan.zero_ofs, plan.sample_len)
+
+
+def test_dataset_arena_items(dataset_dirs):
+    cfg = make_cfg(dataset_dirs, device_audio=True)
+    ds = Aff2CompDataset(cfg)
+    ds.set_modes(["clip", "audio_features"])
+    from auformer.data.wav_arena import build_wav_arena
+    ds.set_audio_arena(build_wav_arena(ds, cap_mb=256))
+    s = ds[0]
+    assert "audio" not in s and "audio_features" not in s
+    assert s["audio_ofs"].dtype == np.int32
+    assert int(s["audio_len"]) >= 882
+
+
+def test_train_step_arena_matches_window(dataset_dirs):
+    """A train step fed arena offsets equals the raw-window step exactly
+    (the gathered buffers are bitwise identical, so the f32 program is
+    too)."""
+    from auformer.data.wav_arena import build_wav_arena
+    from auformer.nn import init_model, loss_suite
+    from auformer.parallel import create_train_state, make_train_step
+
+    cfg = make_cfg(dataset_dirs, device_audio=True, batch_size=2,
+                   model_name="avformer")
+    model, variables = init_model(cfg)
+    suite = loss_suite(model)
+    ds = Aff2CompDataset(cfg)
+    ds.set_modes(list(model.modes))
+
+    def dev(b):
+        return {k: jnp.asarray(v) for k, v in b.items()
+                if not isinstance(v, (list, tuple))
+                or not isinstance(v[0], str)}
+
+    batch_w = dev(collate([ds[0], ds[1]]))
+    plan = build_wav_arena(ds, cap_mb=256)
+    ds.set_audio_arena(plan)
+    batch_a = dev(collate([ds[0], ds[1]]))
+    assert "audio" not in batch_a and "audio_ofs" in batch_a
+
+    state = create_train_state(cfg, model, variables)
+    rng = jax.random.PRNGKey(0)
+    step_w = make_train_step(cfg, model, suite, mesh=None, donate=False)
+    _, m_w = step_w(state, batch_w, rng)
+    step_a = make_train_step(cfg, model, suite, mesh=None, donate=False,
+                             with_arena=True)
+    _, m_a = step_a(state, batch_a, rng, jnp.asarray(plan.arena))
+    assert float(m_a["loss"]) == pytest.approx(float(m_w["loss"]),
+                                               rel=1e-6, abs=1e-6)
+
+
 def test_run_inference_device_audio_matches_host(dataset_dirs):
     """run_inference under --device_audio (mel inside the jitted forward)
     equals the host-frontend run."""

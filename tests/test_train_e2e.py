@@ -89,3 +89,18 @@ def test_train_steps_per_dispatch(cfg):
     assert np.isfinite(history[0]["loss"])
     # 3 loader batches: one K=2 dispatch + a 1-batch tail
     assert int(state.step) >= 3
+
+
+def test_train_device_audio_arena(cfg):
+    """train() with device_audio on an A;V model auto-builds the wav arena
+    (fixture audio fits the cap), feeds int32 offset batches through the
+    sharded step, and finishes with a finite loss."""
+    import copy
+    c = copy.deepcopy(cfg)
+    c.exp_dir = cfg.exp_dir + "_arena"
+    c.model_name = "avformer"
+    c.modality = "A;V"
+    c.device_audio = True
+    state, history = train_lib.train(c, max_steps_per_epoch=2, epochs=1)
+    assert np.isfinite(history[0]["loss"])
+    assert int(state.step) >= 2
