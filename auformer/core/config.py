@@ -80,6 +80,22 @@ class Config:
                                           # (lax.scan over stacked loader batches);
                                           # amortizes per-dispatch overhead on
                                           # high-latency links (RPC-tunneled TPUs)
+    frame_dedup: bool = False             # ship unique decoded frames + an int32
+                                          # (B, T) window map per batch and expand
+                                          # clips on device (parallel/step.py::
+                                          # make_clip_expander): overlapping dilated
+                                          # windows then cost ~1 decode + ~1 H2D
+                                          # frame each instead of clip_len of both.
+                                          # Requires device_augment (host PIL aug
+                                          # is per-sample and would fork shared
+                                          # frames before dedup could see them).
+    locality_run: int = 0                 # train sampler: shuffle contiguous runs
+                                          # of this many indices instead of single
+                                          # indices (BlockShuffleSampler). 0 = fully
+                                          # shuffled. Overlapping windows inside a
+                                          # run share clip_len-1 of clip_len frames,
+                                          # so decode/H2D drop ~batch*T/(run+T*dil)
+                                          # -fold with frame_dedup or the LRU.
 
     # -- derived / runtime -----------------------------------------------------
     checkpoint_path: str = ""
@@ -199,6 +215,8 @@ def build_parser() -> argparse.ArgumentParser:
     tpu.add_argument("--audio_arena_mb", type=float, default=4096.0)
     tpu.add_argument("--mel_bf16", action="store_true")
     tpu.add_argument("--steps_per_dispatch", type=int, default=1)
+    tpu.add_argument("--frame_dedup", action="store_true")
+    tpu.add_argument("--locality_run", type=int, default=0)
     return p
 
 

@@ -63,11 +63,15 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, batch, batch_dim: int = 0):
+def shard_batch(mesh: Mesh, batch, batch_dim: int = 0,
+                replicate_keys: tuple[str, ...] = ()):
     """Place a host batch (pytree of np arrays) onto the mesh, batch-sharded.
     Non-numeric entries (e.g. video_id strings) pass through untouched.
     ``batch_dim=1`` places make_multi_train_step's stacked (K, B, ...)
-    leaves with B sharded and K replicated.
+    leaves with B sharded and K replicated. Top-level keys named in
+    ``replicate_keys`` are replicated instead — entries whose leading axis
+    is NOT the batch (the frame-dedup unique-frame pool ``frames``, whose
+    (U, H, W, C) rows any device's clip_idx rows may reference).
 
     Multi-host: each process passes its PROCESS-LOCAL batch (global batch /
     process_count rows — train_lib.host_shard sizes the loaders) and the
@@ -76,15 +80,20 @@ def shard_batch(mesh: Mesh, batch, batch_dim: int = 0):
     host's local rows as the same global batch."""
     multiprocess = jax.process_count() > 1
 
-    def put(x):
+    def put(x, replicate=False):
         arr = np.asarray(x)
         if arr.dtype.kind in ("U", "S", "O"):
             return x
-        sh = (data_sharding(mesh, arr.ndim, batch_dim=batch_dim)
+        sh = (replicated_sharding(mesh) if replicate
+              else data_sharding(mesh, arr.ndim, batch_dim=batch_dim)
               if arr.ndim >= 1 + batch_dim else replicated_sharding(mesh))
-        if multiprocess:
+        if multiprocess and not replicate:
             return jax.make_array_from_process_local_data(sh, arr)
         return jax.device_put(x, sh)
+
+    if replicate_keys and isinstance(batch, dict):
+        return {k: put(v, replicate=k in replicate_keys)
+                for k, v in batch.items()}
     return jax.tree_util.tree_map(put, batch)
 
 

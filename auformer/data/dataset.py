@@ -115,6 +115,10 @@ class Aff2CompDataset:
         self.use_audio = "A" in cfg.modality.split(";")
         self.modes = ["clip", "audio_features"]
         self.aug = False
+        # frame-dedup batches: __getitem__ returns the window's store keys
+        # instead of the assembled clip; DataLoader then calls
+        # assemble_batch() once per batch (set_frame_dedup)
+        self.frame_dedup = False
         # per-epoch augmentation seed: per-sample PRNGs keep augmentation
         # deterministic under the threaded loader (the reference is
         # single-threaded and uses global `random`)
@@ -161,6 +165,17 @@ class Aff2CompDataset:
 
     def set_aug(self, aug: bool):
         self.aug = aug
+
+    def set_frame_dedup(self, on: bool):
+        """Unique-frame batch mode: samples carry ``clip_keys`` and the
+        loader assembles ``frames`` (U_pad, H, W, C) + ``clip_idx`` (B, T)
+        per batch (assemble_batch); the device expands windows with one
+        gather (parallel/step.py::make_clip_expander). Overlapping dilated
+        windows (consecutive indices share clip_len-1 of clip_len frames)
+        then cost ~1 JPEG decode and ~1 frame of H2D each instead of
+        clip_len of both. Host augmentation is incompatible (it is
+        per-sample, pre-dedup): callers gate this on cfg.device_augment."""
+        self.frame_dedup = bool(on)
 
     # -- store access ---------------------------------------------------------
     def _store_key(self, video_frame: str) -> str:
@@ -354,17 +369,113 @@ class Aff2CompDataset:
         less H2D per clip. Pass None to revert to window shipping."""
         self.wav_arena = arena
 
+    # -- frame-dedup batch assembly -------------------------------------------
+    def assemble_batch(self, samples: list[dict]) -> dict:
+        """Batch-level collate for frame-dedup mode: dedup the B*T window
+        keys into a unique-frame pool and return
+
+          frames   (U_pad, H, W, C) uint8 — slot 0 reserved all-black
+                   (the out-of-range / cross-video sentinel frame);
+                   U_pad rounds up to 64 so the device-side expander jit
+                   compiles a handful of shape buckets, not one per batch
+          clip_idx (B, T) int32 — window -> pool slots; 0 where the dense
+                   path would leave the frame black
+
+        Gathering frames[clip_idx] reproduces get_clip() per sample
+        bitwise (tests/test_data.py). Decode goes through the shared LRU
+        (runs sampled adjacently share boundary frames) with one native
+        batched decode for the misses."""
+        from .samplers import collate
+        b_sz, t_len = len(samples), self.clip_len
+        h, w = self.input_size
+        channels = 4 if self.use_mask else 3
+        key_slot: dict[str, int] = {}
+        uniq: list[str] = []
+        clip_idx = np.zeros((b_sz, t_len), np.int32)
+        for b, s in enumerate(samples):
+            for t, k in enumerate(s.pop("clip_keys")):
+                if k is None:
+                    continue
+                slot = key_slot.get(k)
+                if slot is None:
+                    uniq.append(k)
+                    slot = len(uniq)  # slot 0 stays black
+                    key_slot[k] = slot
+                clip_idx[b, t] = slot
+        u_pad = max(64, -(-(len(uniq) + 1) // 64) * 64)
+        frames = np.zeros((u_pad, h, w, channels), np.uint8)
+        self._fill_rgb(uniq, frames)
+        if self.use_mask:
+            self._fill_mask(uniq, frames)
+        out = collate(samples)
+        out["frames"] = frames
+        out["clip_idx"] = clip_idx
+        return out
+
+    def _fill_rgb(self, uniq: list[str], frames: np.ndarray) -> None:
+        miss: list[tuple[int, str]] = []
+        for i, k in enumerate(uniq):
+            cached = self._cache_get(k)
+            if cached is not None:
+                frames[i + 1, :, :, 0:3] = cached
+            else:
+                miss.append((i, k))
+        if not miss:
+            return
+        h, w = self.input_size
+        if self.native_image is not None:
+            dec, ok = self.native_image.decode_batch(
+                [k for _, k in miss], h, w, 3)
+            for j, (i, k) in enumerate(miss):
+                if ok[j]:
+                    frames[i + 1, :, :, 0:3] = dec[j]
+                    self._cache_put(k, dec[j])
+        else:
+            for i, k in miss:
+                img = self._get_image_by_key(k)
+                if img is not None and img.shape[:2] == self.input_size:
+                    frames[i + 1, :, :, 0:3] = img
+                    self._cache_put(k, img)
+
+    def _fill_mask(self, uniq: list[str], frames: np.ndarray) -> None:
+        miss: list[tuple[int, str]] = []
+        for i, k in enumerate(uniq):
+            cm = self._cache_get("m:" + k)
+            if cm is not None:
+                frames[i + 1, :, :, 3] = cm[:, :, 0] if cm.ndim == 3 else cm
+            else:
+                miss.append((i, k))
+        if not miss:
+            return
+        h, w = self.input_size
+        if self.native_mask is not None:
+            dec, ok = self.native_mask.decode_batch(
+                [k for _, k in miss], h, w, 1)
+            for j, (i, k) in enumerate(miss):
+                if ok[j]:
+                    frames[i + 1, :, :, 3] = dec[j][:, :, 0]
+                    self._cache_put("m:" + k, dec[j])
+        else:
+            for i, k in miss:
+                m = self._get_mask_by_key(k)
+                if m is not None and m.shape[:2] == self.input_size:
+                    frames[i + 1, :, :, 3] = m
+                    self._cache_put("m:" + k, m)
+
     def __getitem__(self, index: int) -> dict:
         data = {"Index": index}
         video_id = os.path.dirname(self.image_path[index])
         current = self.image_path[index]
 
-        clip = self.get_clip(index)
+        if self.frame_dedup:
+            data["clip_keys"] = self._clip_keys(index)
+        else:
+            clip = self.get_clip(index)
         data["AU"] = self.get_label(current, "au")
         data["EX"] = self.get_label(current, "ex")
         data["VA"] = self.get_label(current, "va")
 
-        if self.aug:
+        if self.aug and not self.frame_dedup:
             import random as _random
             rng = _random.Random((self.aug_seed << 32) ^ index)
             # ImageNetPolicy + flip regardless of the mask channel: the
@@ -373,7 +484,8 @@ class Aff2CompDataset:
             # untouched while the flip moves both (aff2compdataset.py:69-77,
             # autoaugment.py:104-112); imagenet_policy mirrors that slice.
             clip = transforms.train_augment(clip, rng)
-        data["clip"] = clip  # uint8 (T,H,W,C); device normalizes
+        if not self.frame_dedup:
+            data["clip"] = clip  # uint8 (T,H,W,C); device normalizes
 
         if self.use_audio and "audio_features" in self.modes:
             if self.audio_on_device and self.wav_arena is not None:

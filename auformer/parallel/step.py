@@ -306,6 +306,43 @@ def make_multi_train_step(cfg: Config, model, suite: LossSuite,
     return jax.jit(multi2, donate_argnums=donate_arg)
 
 
+def make_clip_expander(mesh: Optional[Mesh] = None) -> Callable:
+    """Returns expand(frames, clip_idx) -> (B, T, H, W, C) uint8 clips,
+    jitted: the device half of the frame-dedup input path
+    (data/dataset.py::assemble_batch). ``frames`` is the batch's
+    unique-frame pool — (U_pad, H, W, C) with slot 0 all-black — and
+    ``clip_idx`` the (B, T) int32 window map; one HBM gather rebuilds the
+    dense clips get_clip() would have assembled on host, bitwise.
+
+    Kept OUTSIDE the train step on purpose: U_pad varies in 64-slot
+    buckets batch-to-batch, and recompiling this one-op gather per bucket
+    costs ~nothing while re-specializing the whole train program would
+    cost tens of seconds per bucket. The expanded clip feeds the existing
+    step/stacker signatures unchanged.
+
+    With a mesh: frames replicated (any device's windows may reference
+    any pool row), clip_idx and the output batch-sharded over 'data'."""
+    def expand(frames: jax.Array, clip_idx: jax.Array) -> jax.Array:
+        return jnp.take(frames, clip_idx, axis=0)
+
+    if mesh is not None:
+        repl = NamedSharding(mesh, P())
+        idx_sh = NamedSharding(mesh, P("data"))
+        return jax.jit(expand, in_shardings=(repl, idx_sh),
+                       out_shardings=idx_sh)
+    return jax.jit(expand)
+
+
+def expand_dedup_batch(batch: dict, expander: Callable) -> dict:
+    """frames/clip_idx -> clip, leaving other entries untouched; no-op for
+    dense batches (the epoch-tail path may mix both)."""
+    if "frames" not in batch or "clip_idx" not in batch:
+        return batch
+    out = dict(batch)
+    out["clip"] = expander(out.pop("frames"), out.pop("clip_idx"))
+    return out
+
+
 def stack_batches(batches: list[dict]) -> dict:
     """Host-side collation for make_multi_train_step: K loader batches ->
     one pytree with leading axis K (np.stack per leaf, numeric leaves

@@ -23,12 +23,13 @@ from .core.config import Config
 from .core.observability import RecorderMeter, StepTimer
 from .core.mesh import make_mesh, maybe_init_distributed, shard_batch
 from .core.prng import key_seq, setup_seed
-from .data import (Aff2CompDataset, DataLoader, Prefetcher,
-                   SubsetSequentialSampler, shard_indices)
+from .data import (Aff2CompDataset, BlockShuffleSampler, DataLoader,
+                   Prefetcher, SubsetSequentialSampler, shard_indices)
 from .metrics import AccF1Metric, CCCMetric, MultiLabelAccF1, composite_scores
 from .nn import init_model, loss_suite
-from .parallel import TrainState, create_train_state, make_device_stacker, \
-    make_eval_step, make_multi_train_step, make_train_step
+from .parallel import TrainState, create_train_state, expand_dedup_batch, \
+    make_clip_expander, make_device_stacker, make_eval_step, \
+    make_multi_train_step, make_train_step
 
 
 class AverageMeter:
@@ -69,11 +70,13 @@ def _gather_eval_rows(out, batch):
     return gathered[0], gathered[1]
 
 
-def device_batch_keys(model, cfg, arena: bool = False) -> set:
+def device_batch_keys(model, cfg, arena: bool = False,
+                      dedup: bool = False) -> set:
     """Keys worth uploading to the device for a step: model inputs +
     labels (+ raw audio when the mel frontend runs on device; just the
-    int32 window offsets in wav-arena mode). The collated host batch
-    also carries entries the step never reads — notably the raw
+    int32 window offsets in wav-arena mode; the unique-frame pool + window
+    map instead of dense clips in frame-dedup mode). The collated host
+    batch also carries entries the step never reads — notably the raw
     (B, 1, 441000) float32 ``audio`` the reference dataset returns
     alongside host mels (aff2compdataset.py:243-247), 113 MB/64-batch
     that would otherwise ride every H2D transfer."""
@@ -83,12 +86,18 @@ def device_batch_keys(model, cfg, arena: bool = False) -> set:
         keys |= ({"audio_ofs", "audio_len"} if arena
                  else {"audio", "audio_len"})
         keys.discard("audio_features")  # computed inside the step
+    if dedup:
+        keys |= {"frames", "clip_idx"}
+        keys.discard("clip")  # expanded on device (make_clip_expander)
     return keys
 
 
 def evaluate(eval_step, state: TrainState, loader, mesh=None,
-             num_step: int | None = None, keep: set | None = None):
-    """Validation sweep -> composite scores (reference train.py:106-169)."""
+             num_step: int | None = None, keep: set | None = None,
+             expander=None):
+    """Validation sweep -> composite scores (reference train.py:106-169).
+    ``expander``: device-side clip gather for frame-dedup batches
+    (parallel/step.py::make_clip_expander)."""
     metric_ex = AccF1Metric(ignore_index=7)
     metric_va = CCCMetric(ignore_index=-5.0)
     metric_au = MultiLabelAccF1(ignore_index=-1)
@@ -98,7 +107,10 @@ def evaluate(eval_step, state: TrainState, loader, mesh=None,
             break
         up = batch if keep is None \
             else {k: v for k, v in batch.items() if k in keep}
-        dev_batch = shard_batch(mesh, up) if mesh is not None else up
+        dev_batch = (shard_batch(mesh, up, replicate_keys=("frames",))
+                     if mesh is not None else up)
+        if expander is not None:
+            dev_batch = expand_dedup_batch(dev_batch, expander)
         out, loss = eval_step(state.params, state.batch_stats, dev_batch)
         out, batch = _gather_eval_rows(out, batch)
         total_loss += float(loss)
@@ -245,7 +257,20 @@ def train(cfg: Config, dataset=None, max_steps_per_epoch: int | None = None,
                                 with_arena=arena is not None)
     eval_step = ((lambda p, bs, b: _eval_step(p, bs, b, arena))
                  if arena is not None else _eval_step)
-    dev_keys = device_batch_keys(model, cfg, arena=arena is not None)
+    # frame-dedup input path: unique-frame pool + (B, T) window map per
+    # batch, clips expanded by one HBM gather. Gated to device_augment
+    # (host PIL aug is per-sample, pre-dedup) and single-process (each
+    # host's pool indexes its own local batch; a replicated pool would
+    # need identical bytes on every host)
+    use_dedup = (bool(getattr(cfg, "frame_dedup", False))
+                 and cfg.device_augment and jax.process_count() == 1
+                 and "clip" in getattr(model, "modes", ("clip",))
+                 and hasattr(dataset, "set_frame_dedup"))
+    if use_dedup:
+        dataset.set_frame_dedup(True)
+    expander = make_clip_expander(mesh) if use_dedup else None
+    dev_keys = device_batch_keys(model, cfg, arena=arena is not None,
+                                 dedup=use_dedup)
     stopper = EarlyStopper(cfg.early_stop_step, cfg.checkpoint_path)
 
     epochs = epochs if epochs is not None else cfg.epochs
@@ -262,8 +287,15 @@ def train(cfg: Config, dataset=None, max_steps_per_epoch: int | None = None,
         # loads a disjoint equal-length shard at batch_size/num_hosts so
         # the GLOBAL batch and step count match single-host exactly
         train_ids, local_bs = host_shard(train_ids, cfg.batch_size)
-        loader = DataLoader(dataset, local_bs,
-                            SubsetSequentialSampler(train_ids, shuffle=True),
+        # locality_run > 0: shuffle contiguous runs instead of single
+        # indices so overlapping dilated windows hit the decode LRU /
+        # dedup pool (~clip_len-fold fewer JPEG decodes on few-core hosts)
+        run = int(getattr(cfg, "locality_run", 0) or 0)
+        sampler = (BlockShuffleSampler(train_ids, run,
+                                       seed=cfg.seed * 100003 + epoch)
+                   if run > 0
+                   else SubsetSequentialSampler(train_ids, shuffle=True))
+        loader = DataLoader(dataset, local_bs, sampler,
                             num_threads=cfg.host_threads, drop_last=True,
                             prefetch_batches=cfg.prefetch_depth)
         logging.info(f"Training {cfg.task}, Epoch:{epoch}")
@@ -291,7 +323,12 @@ def train(cfg: Config, dataset=None, max_steps_per_epoch: int | None = None,
                     tracing = False
             trimmed = {k: v for k, v in batch.items() if k in dev_keys}
             if multi_step is not None:
-                pend.append(shard_batch(mesh, trimmed))
+                sb = shard_batch(mesh, trimmed, replicate_keys=("frames",))
+                if expander is not None:
+                    # expand BEFORE stacking: U_pad buckets vary batch to
+                    # batch, the dense (B, T, H, W, C) clips do not
+                    sb = expand_dedup_batch(sb, expander)
+                pend.append(sb)
                 if len(pend) < spd:
                     timer.mark_step()
                     continue
@@ -309,7 +346,10 @@ def train(cfg: Config, dataset=None, max_steps_per_epoch: int | None = None,
                             meters[k].update(float(v))
                 step_i += spd
             else:
-                dev_batch = shard_batch(mesh, trimmed)
+                dev_batch = shard_batch(mesh, trimmed,
+                                        replicate_keys=("frames",))
+                if expander is not None:
+                    dev_batch = expand_dedup_batch(dev_batch, expander)
                 state, metrics = train_step(state, dev_batch, keys(),
                                             *step_args)
                 meters["loss"].update(float(metrics["loss"]))
@@ -376,7 +416,8 @@ def train(cfg: Config, dataset=None, max_steps_per_epoch: int | None = None,
                 f"val: scoring {n_scored}/{n_val_global} samples "
                 "(equal host shards + drop_last truncation)")
         scores = evaluate(eval_step, state, val_loader, mesh,
-                          num_step=num_eval, keep=dev_keys)
+                          num_step=num_eval, keep=dev_keys,
+                          expander=expander)
 
         if cfg.task == "ALL":
             total_score = sum(scores[t]["score"] for t in ("EX", "AU", "VA"))

@@ -282,3 +282,80 @@ def test_ensure_fixture_params_guard(tmp_path):
     ensure_fixture(cache, "2x32@32", gen("c"))     # params changed: regen
     assert calls == ["a", "c"]
     assert open(os.path.join(cache, "fixture_params.txt")).read() == "2x32@32"
+
+
+def test_block_shuffle_sampler_covers_all_once():
+    from auformer.data import BlockShuffleSampler
+    ids = list(range(100, 190))
+    s = BlockShuffleSampler(ids, run_len=16, seed=7)
+    ep1 = list(s)
+    assert sorted(ep1) == sorted(ids)
+    assert len(s) == len(ids)
+    # runs stay contiguous: every aligned run of 16 appears as an
+    # unbroken subsequence (the tail run is shorter)
+    runs = [ids[i:i + 16] for i in range(0, len(ids), 16)]
+    pos = {v: i for i, v in enumerate(ep1)}
+    for r in runs:
+        starts = [pos[v] for v in r]
+        assert starts == list(range(starts[0], starts[0] + len(r)))
+    ep2 = list(s)                     # fresh permutation each epoch
+    assert sorted(ep2) == sorted(ids)
+    assert ep1 != ep2
+
+
+def test_frame_dedup_assemble_matches_dense(dataset_dirs):
+    """expand(frames, clip_idx) == the dense get_clip batch, bitwise —
+    including black sentinel frames at video starts/boundaries."""
+    cfg = make_cfg(dataset_dirs, modality="V")
+    ds = Aff2CompDataset(cfg)
+    ids = np.nonzero(ds.train_ids)[0]
+    idxs = [int(ids[0]), int(ids[1]), int(ids[7]),
+            int(ids[len(ids) // 2]), int(ids[-1])]
+    dense = np.stack([ds.get_clip(i) for i in idxs])
+
+    ds.set_frame_dedup(True)
+    samples = [ds[i] for i in idxs]
+    assert all("clip" not in s and "clip_keys" in s for s in samples)
+    batch = ds.assemble_batch(samples)
+    frames, clip_idx = batch["frames"], batch["clip_idx"]
+    assert frames.shape[0] % 64 == 0 and frames.dtype == np.uint8
+    assert clip_idx.shape == (len(idxs), ds.clip_len)
+    assert (frames[0] == 0).all()                     # reserved black slot
+    np.testing.assert_array_equal(frames[clip_idx], dense)
+    # dedup actually dedups: overlapping windows share pool slots
+    n_used = len(np.unique(clip_idx))
+    assert n_used < len(idxs) * ds.clip_len
+    # labels still collated alongside
+    assert batch["AU"].shape == (len(idxs), 12)
+
+
+def test_frame_dedup_mask_modality(dataset_dirs):
+    cfg = make_cfg(dataset_dirs, modality="V;M")
+    ds = Aff2CompDataset(cfg)
+    ids = np.nonzero(ds.train_ids)[0]
+    idxs = [int(ids[3]), int(ids[4]), int(ids[20])]
+    dense = np.stack([ds.get_clip(i) for i in idxs])
+    ds.set_frame_dedup(True)
+    batch = ds.assemble_batch([ds[i] for i in idxs])
+    assert batch["frames"].shape[-1] == 4
+    np.testing.assert_array_equal(batch["frames"][batch["clip_idx"]], dense)
+
+
+def test_dataloader_frame_dedup_batches(dataset_dirs):
+    cfg = make_cfg(dataset_dirs, modality="V")
+    ds = Aff2CompDataset(cfg)
+    ds.set_frame_dedup(True)
+    ids = np.nonzero(ds.train_ids)[0]
+    loader = DataLoader(ds, batch_size=8,
+                        sampler=SubsetSequentialSampler(ids),
+                        num_threads=2, drop_last=True)
+    batches = list(loader)
+    assert len(batches) == len(ids) // 8
+    b = batches[0]
+    assert "clip" not in b and b["clip_idx"].shape == (8, 4)
+    assert b["frames"].ndim == 4 and b["AU"].shape == (8, 12)
+    ds.set_frame_dedup(False)
+    dense = next(iter(DataLoader(ds, batch_size=8,
+                                 sampler=SubsetSequentialSampler(ids),
+                                 num_threads=2, drop_last=True)))
+    np.testing.assert_array_equal(b["frames"][b["clip_idx"]], dense["clip"])

@@ -142,3 +142,54 @@ def test_multi_train_step_matches_sequential(setup):
             state_seq.batch_stats)), jax.tree_util.tree_leaves(
             jax.device_get(state_k.batch_stats))):
         np.testing.assert_allclose(a, b, rtol=5e-3, atol=5e-4)
+
+
+def test_clip_expander_dedup_step_matches_dense(setup):
+    """Frame-dedup input path on the mesh: expand(frames, clip_idx) feeds
+    the train step the same clips as the dense path -> identical loss."""
+    from auformer.parallel import expand_dedup_batch, make_clip_expander
+
+    cfg, model, variables, suite, batch = setup
+    mesh = make_mesh("data:-1")
+    key = jax.random.PRNGKey(11)
+
+    # synthesize a dedup batch from the dense clips: unique frames pooled,
+    # one frame shared by every sample (slot collisions exercised), slot 0
+    # black for two windows
+    clips = batch["clip"]
+    b, t = clips.shape[:2]
+    flat = clips.reshape(b * t, *clips.shape[2:]).copy()
+    flat[1::t] = flat[1]                      # share one frame everywhere
+    u_pad = 64
+    frames = np.zeros((u_pad,) + flat.shape[1:], np.uint8)
+    clip_idx = np.zeros((b, t), np.int32)
+    pool: dict[bytes, int] = {}
+    nxt = 1
+    for i in range(b * t):
+        key_b = flat[i].tobytes()
+        if key_b not in pool:
+            pool[key_b] = nxt
+            frames[nxt] = flat[i]
+            nxt += 1
+        clip_idx[i // t, i % t] = pool[key_b]
+    clip_idx[0, 0] = 0                        # black sentinel frames
+    clip_idx[3, 1] = 0
+    dense = frames[clip_idx]
+
+    state = create_train_state(cfg, model, variables)
+    step = make_train_step(cfg, model, suite, mesh, donate=False)
+    dense_batch = dict(batch, clip=dense)
+    _, m_dense = step(state, shard_batch(mesh, dense_batch), key)
+
+    expander = make_clip_expander(mesh)
+    dd = dict(batch)
+    del dd["clip"]
+    dd["frames"], dd["clip_idx"] = frames, clip_idx
+    sharded = shard_batch(mesh, dd, replicate_keys=("frames",))
+    assert sharded["frames"].sharding.is_fully_replicated
+    expanded = expand_dedup_batch(sharded, expander)
+    assert "frames" not in expanded and "clip_idx" not in expanded
+    np.testing.assert_array_equal(np.asarray(expanded["clip"]), dense)
+    _, m_dd = step(state, expanded, key)
+    assert float(m_dd["loss"]) == pytest.approx(float(m_dense["loss"]),
+                                                rel=1e-6)

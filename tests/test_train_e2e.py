@@ -104,3 +104,21 @@ def test_train_device_audio_arena(cfg):
     state, history = train_lib.train(c, max_steps_per_epoch=2, epochs=1)
     assert np.isfinite(history[0]["loss"])
     assert int(state.step) >= 2
+
+
+def test_train_frame_dedup_locality(cfg):
+    """The production TPU input path: BlockShuffleSampler runs +
+    frame-dedup batches (unique-frame pool + device-side clip expand) +
+    device AutoAugment, through train() AND the per-epoch eval — finite
+    loss, steps taken, scores produced."""
+    import copy
+    c = copy.deepcopy(cfg)
+    c.exp_dir = cfg.exp_dir + "_dedup"
+    c.device_augment = True
+    c.frame_dedup = True
+    c.locality_run = 8
+    c.steps_per_dispatch = 2
+    state, history = train_lib.train(c, max_steps_per_epoch=4, epochs=1)
+    assert np.isfinite(history[0]["loss"])
+    assert int(state.step) >= 4
+    assert set(history[0]["scores"]) >= {"EX", "AU", "VA", "loss"}
