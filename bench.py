@@ -81,6 +81,12 @@ TRAIN_E2E_SPD = 8      # steps_per_dispatch for the device-frontend variant:
 TRAIN_E2E_STEPS_SPD = 24  # measured steps for the K-dispatch variant (3
                           # dispatches of K=8); bounded: a bad mood costs
                           # ~2 s per DISPATCH, not per step
+TRAIN_E2E_RUN = 32     # locality_run for the device-frontend variant:
+                       # BlockShuffleSampler feeds contiguous 32-sample runs
+                       # so the frame-dedup pool collapses overlapping
+                       # dilated windows (~6x fewer unique frames per batch
+                       # on the fixture) — the production TPU input path
+                       # (cfg.frame_dedup + cfg.locality_run)
 
 _T0 = time.monotonic()
 
@@ -710,10 +716,11 @@ def _train_e2e_rate(cfg, model, variables, wd,
 
     from auformer.core.mesh import make_mesh, shard_batch
     from auformer.data.dataset import Aff2CompDataset
-    from auformer.data.samplers import (DataLoader, Prefetcher,
-                                        SubsetSequentialSampler)
+    from auformer.data.samplers import (BlockShuffleSampler, DataLoader,
+                                        Prefetcher, SubsetSequentialSampler)
     from auformer.nn import loss_suite
-    from auformer.parallel import (create_train_state, make_device_stacker,
+    from auformer.parallel import (create_train_state, expand_dedup_batch,
+                                   make_clip_expander, make_device_stacker,
                                    make_multi_train_step, make_train_step)
     from auformer.train_lib import device_batch_keys
 
@@ -727,6 +734,14 @@ def _train_e2e_rate(cfg, model, variables, wd,
     ds.set_modes(list(model.modes))
     ds.set_aug(not device_front)  # host PIL augment on the parity path
     ds.aug_seed = 17
+    # production TPU input path on the device-frontend variant: dedup each
+    # batch to a unique-frame pool + (B, T) window map (device expands with
+    # one HBM gather) and feed contiguous locality runs so overlapping
+    # dilated windows actually share pool slots / LRU hits — together they
+    # cut host JPEG decode + H2D ~clip_len-fold (cfg.frame_dedup +
+    # cfg.locality_run; train_lib.py wires the same for train())
+    if device_front:
+        ds.set_frame_dedup(True)
     ids = np.nonzero(ds.train_ids)[0]
 
     mesh = make_mesh()
@@ -755,12 +770,15 @@ def _train_e2e_rate(cfg, model, variables, wd,
     step = (make_multi_train_step(tcfg, model, suite, mesh, with_arena=wa)
             if spd > 1
             else make_train_step(tcfg, model, suite, mesh, with_arena=wa))
-    keep = device_batch_keys(model, tcfg, arena=wa)
+    keep = device_batch_keys(model, tcfg, arena=wa, dedup=device_front)
+    expander = make_clip_expander(mesh) if device_front else None
     rng = jax.random.PRNGKey(3)
 
     def make_prefetch():
-        loader = DataLoader(ds, tcfg.batch_size,
-                            SubsetSequentialSampler(ids, shuffle=True),
+        sampler = (BlockShuffleSampler(ids, TRAIN_E2E_RUN, seed=11)
+                   if device_front
+                   else SubsetSequentialSampler(ids, shuffle=True))
+        loader = DataLoader(ds, tcfg.batch_size, sampler,
                             num_threads=tcfg.host_threads, drop_last=True,
                             prefetch_batches=tcfg.prefetch_depth)
         return Prefetcher(loader, depth=tcfg.prefetch_depth)
@@ -801,7 +819,12 @@ def _train_e2e_rate(cfg, model, variables, wd,
             b = prefetch.next()
             if b is None:
                 return None
-            group.append(shard_batch(mesh, trim(b)))
+            sb = shard_batch(mesh, trim(b), replicate_keys=("frames",))
+            if expander is not None:
+                # expand BEFORE stacking: the pool's U_pad varies in
+                # 64-slot buckets batch to batch, dense clips do not
+                sb = expand_dedup_batch(sb, expander)
+            group.append(sb)
         if spd == 1:
             return group[0]
         return stacker(*group)
