@@ -239,14 +239,36 @@ class PackedAssembler:
 
     # ---- dispatch ---------------------------------------------------------
     def drain(self, flush: bool = False):
-        """Yield (handle, demux) for every bucket that is ready: frames
-        decoded, wavs present. ``flush`` pads and dispatches the final
-        partial bucket. demux = [(video, row_lo, row_hi, clip_lo)]."""
+        """Yield a host-side bucket PLAN for every bucket that is ready:
+        frames decoded, wavs present. ``flush`` pads the final partial
+        bucket. Plans hold numpy payloads (and arena chunk VIEWS — the
+        owning rows stay live until :meth:`upload_dispatch` releases
+        them); no tunnel RPC happens here. The split matters on a 1-core
+        host: the axon tunnel client spin-waits inside device_put/fetch,
+        so doing H2D inline while the decode child is hot starves decode
+        AND stretches each put 10-30x (round-4 probe: 0.05s idle vs
+        1-3.9s in-pipeline per 77 MB bucket). Callers buffer plans and
+        run the RPC stage after decode quiesces (or on arena pressure)."""
         while True:
             item = self._next_bucket(flush)
             if item is None:
                 return
             yield item
+
+    def upload_dispatch(self, plan):
+        """RPC stage of a drained plan: H2D puts + device dispatch ->
+        (handle, demux); releases the plan's arena rows."""
+        if plan["kind"] == "fallback":
+            vp = plan["vp"]
+            handle = self.sweep.dispatch_video(
+                plan["frames"], wav=vp.wav, timestamps_ms=vp._ts,
+                batch=self.bucket)
+            demux = plan["demux"]
+        else:
+            handle, demux = self._upload_packed(plan)
+        self.arena.release_below(
+            max(plan["e"] - self.cfg.label_frame, 0))
+        return handle, demux
 
     def _ready_hi(self) -> int:
         """Global clip frontier that is dispatchable: frames decoded AND
@@ -294,7 +316,7 @@ class PackedAssembler:
         at_break = e < hi and (self._video_at(e).fallback or not full)
         if not full and not flush and not at_break:
             return None  # keep filling
-        return self._dispatch_packed(s, e)
+        return self._prepare_packed(s, e)
 
     def _video_at(self, g: int) -> _VideoPlan:
         for vp in self.videos:
@@ -306,7 +328,11 @@ class PackedAssembler:
         q = self.quantum
         return min(max(-(-cur // q) * q, q), self.bucket)
 
-    def _dispatch_packed(self, s: int, e: int):
+    def _prepare_packed(self, s: int, e: int) -> dict:
+        """Host stage: window rows, packed wav buffer, phase table inputs,
+        and the arena chunk view for clips [s, e) — pure numpy, no RPC."""
+        _dbg = os.environ.get("AUFORMER_PACK_DEBUG")
+        _t0 = time.perf_counter()
         cfg = self.cfg
         lf = cfg.label_frame
         cur = e - s
@@ -384,44 +410,60 @@ class PackedAssembler:
             np.concatenate([live, np.zeros(bsize - cur, bool)]), psel,
             0).astype(np.int32)
 
+        _t1 = time.perf_counter()
         chunk = self.arena.chunk(lo, e, pad_to=bsize + lf)
-        # pad rows (tail rows already point at the black slot) + payloads
-        st = starts.astype(np.int32)
-        bs = base.astype(np.int32)
-        rw = rows.astype(np.int32)
+        if _dbg:
+            print(f"    [pack] asm={_t1-_t0:.2f}s "
+                  f"chunk={time.perf_counter()-_t1:.2f}s", flush=True)
+        self._g_dispatched = e
+        return {"kind": "packed", "e": e, "cur": cur, "chunk": chunk,
+                "st": starts.astype(np.int32), "nv": n_valid,
+                "bs": base.astype(np.int32), "ps": psel,
+                "rw": rows.astype(np.int32), "wav_buf": wav_buf,
+                "phases": phases, "demux": demux}
+
+    def _upload_packed(self, plan: dict):
+        """RPC stage of a packed plan: H2D puts + fused dispatch."""
+        _dbg = os.environ.get("AUFORMER_PACK_DEBUG")
+        _t0 = time.perf_counter()
+        _c0 = time.process_time()
         sw = self.sweep
         chunk, st, nv, bs2, ps, rw = sw._shard_data(
-            chunk, st, n_valid, bs, psel, rw)
+            plan["chunk"], plan["st"], plan["nv"], plan["bs"],
+            plan["ps"], plan["rw"])
+        _t1 = time.perf_counter()
+        _c1 = time.process_time()
+        import jax
         if sw.mesh is None:
             # async H2D: never let the jit call block inline on the
             # transfer (see sweep._shard_data single-device note)
-            import jax
-            wav_dev = jax.device_put(wav_buf)
-            ph_dev = jax.device_put(phases)
+            wav_dev = jax.device_put(plan["wav_buf"])
+            ph_dev = jax.device_put(plan["phases"])
         else:
-            import jax
             from .core.mesh import replicated_sharding
-            wav_dev = jax.device_put(wav_buf,
+            wav_dev = jax.device_put(plan["wav_buf"],
                                      replicated_sharding(sw.mesh))
-            ph_dev = jax.device_put(phases, replicated_sharding(sw.mesh))
+            ph_dev = jax.device_put(plan["phases"],
+                                    replicated_sharding(sw.mesh))
+        _t2 = time.perf_counter()
         fut = sw.fused_sweep_packed(chunk, wav_dev, ph_dev, st, nv, bs2,
                                     ps, rw)
-        self._g_dispatched = e
-        self.arena.release_below(max(e - self.cfg.label_frame, 0))
-        handle = (cur, [(0, cur, fut)])
-        return handle, demux
+        if _dbg:
+            print(f"    [pack] shard={_t1-_t0:.2f}s (cpu {_c1-_c0:.2f}s) "
+                  f"wavput={_t2-_t1:.2f}s "
+                  f"call={time.perf_counter()-_t2:.2f}s", flush=True)
+        cur = plan["cur"]
+        return (cur, [(0, cur, fut)]), plan["demux"]
 
     def _dispatch_fallback(self, vp: _VideoPlan):
-        """Per-video device-audio route for >MAX_PHASES videos — identical
-        to serve.sweep_stream's dispatch (sweep.dispatch_video)."""
+        """Per-video device-audio route plan for >MAX_PHASES videos — the
+        RPC stage (upload_dispatch) runs serve.sweep_stream's dispatch
+        (sweep.dispatch_video)."""
         frames = self.arena.chunk(vp.frame_base, vp.frame_base + vp.n)
-        handle = self.sweep.dispatch_video(
-            frames, wav=vp.wav, timestamps_ms=vp._ts, batch=self.bucket)
         e = vp.frame_base + vp.n
         self._g_dispatched = e
-        self.arena.release_below(max(e - self.cfg.label_frame, 0))
-        demux = [(vp, 0, vp.n, 0)]
-        return handle, demux
+        return {"kind": "fallback", "e": e, "vp": vp, "frames": frames,
+                "demux": [(vp, 0, vp.n, 0)]}
 
 
 def packed_sweep_stream(cfg, variables, dataset=None, bucket=None,
@@ -540,16 +582,32 @@ def packed_sweep_stream(cfg, variables, dataset=None, bucket=None,
                     if vp.done_rows == vp.n:
                         yield vp.vid_idx, vp.video_id, vp.out
 
+    plans: list = []  # prepared buckets awaiting the RPC stage
+
     def _on_slice(video_nr, a, b, g_lo, wav, dsec):
-        nonlocal pending_clips
         st["decode_seconds"] += dsec
         if wav is not None:
             asm.set_wav(video_nr, wav)
         asm.frames_ready(g_lo + (b - a))
         td = time.perf_counter()
-        for handle, demux in asm.drain():
+        # host stage only: bucket plans buffer until decode quiesces (or
+        # arena pressure forces an upload) — see PackedAssembler.drain
+        plans.extend(asm.drain())
+        with st_lock:
+            st["sweep_seconds"] += time.perf_counter() - td
+
+    def _upload_plans():
+        """RPC stage: H2D + dispatch every buffered plan (releases their
+        arena rows), then group-fetch when past the fetch threshold."""
+        nonlocal pending_clips
+        if not plans:
+            return
+        td = time.perf_counter()
+        for plan in plans:
+            handle, demux = asm.upload_dispatch(plan)
             pending.append((handle, demux))
             pending_clips += handle[0]
+        plans.clear()
         with st_lock:
             st["sweep_seconds"] += time.perf_counter() - td
         if pending_clips >= fetch_group_clips:
@@ -574,6 +632,11 @@ def packed_sweep_stream(cfg, variables, dataset=None, bucket=None,
 
         def _request(sl):
             v, a, b, g_lo, first = sl
+            # arena pressure: the ring must hold every frame from the
+            # oldest un-uploaded plan to this slice's end — upload the
+            # buffered plans (releasing their rows) before it overflows
+            if plans and g_lo + (b - a) - arena._free_g > arena.cap:
+                _upload_plans()
             base = arena.alloc(g_lo, b - a)
             if use_shm:
                 worker.request_slice(v, a, b, base,
@@ -600,12 +663,13 @@ def packed_sweep_stream(cfg, variables, dataset=None, bucket=None,
                 si += 1
             _on_slice(v, a, b, g_lo, wav, dsec)
             yield from _completed()
-        # flush the final partial bucket
+        # decode has quiesced: flush the final partial bucket, then run
+        # the whole RPC stage on an uncontended core
         td = time.perf_counter()
-        for handle, demux in asm.drain(flush=True):
-            pending.append((handle, demux))
+        plans.extend(asm.drain(flush=True))
         with st_lock:
             st["sweep_seconds"] += time.perf_counter() - td
+        _upload_plans()
         _drain_async()
         for f in fetch_futs:
             for out, demux in f.result():
