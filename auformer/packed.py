@@ -206,6 +206,9 @@ class PackedAssembler:
         self._g_decoded = 0       # frames [0, g) written to the arena
         self._g_dispatched = 0    # clips [0, g) handed to a device program
         self._total = 0
+        # (chunk_dev, release_g) for dispatched buckets whose async H2D
+        # still reads the ring (see upload_dispatch)
+        self._deferred: list = []
 
     # ---- registration -----------------------------------------------------
     def register_video(self, video_nr, video_id, vid_idx,
@@ -257,18 +260,46 @@ class PackedAssembler:
 
     def upload_dispatch(self, plan):
         """RPC stage of a drained plan: H2D puts + device dispatch ->
-        (handle, demux); releases the plan's arena rows."""
+        (handle, demux). The plan's arena rows are released only after the
+        async H2D transfer that reads them is observed complete (ADVICE
+        r4: the chunk is a zero-copy ring view and device_put returns
+        before the copy — releasing at dispatch time would let the decode
+        worker overwrite rows an in-flight transfer still reads)."""
+        release_g = max(plan["e"] - self.cfg.label_frame, 0)
         if plan["kind"] == "fallback":
             vp = plan["vp"]
+            # rare route (>MAX_PHASES videos): decouple by COPY — the
+            # frames view feeds dispatch_video's internal device_put,
+            # whose array we cannot track for deferred release
             handle = self.sweep.dispatch_video(
-                plan["frames"], wav=vp.wav, timestamps_ms=vp._ts,
+                np.array(plan["frames"]), wav=vp.wav, timestamps_ms=vp._ts,
                 batch=self.bucket)
             demux = plan["demux"]
+            self.arena.release_below(release_g)
         else:
-            handle, demux = self._upload_packed(plan)
-        self.arena.release_below(
-            max(plan["e"] - self.cfg.label_frame, 0))
+            handle, demux, chunk_dev = self._upload_packed(plan)
+            self._deferred.append((chunk_dev, release_g))
+            self.reap_releases()
         return handle, demux
+
+    def reap_releases(self, block: bool = False) -> None:
+        """Release arena rows whose H2D transfer has completed. With
+        ``block=True`` wait for the OLDEST in-flight transfer first (the
+        arena-pressure path: alloc needs ring space back now)."""
+        import jax
+        while self._deferred:
+            arr, g = self._deferred[0]
+            try:
+                ready = bool(arr.is_ready())
+            except Exception:
+                ready = True
+            if not ready:
+                if not block:
+                    return
+                jax.block_until_ready(arr)
+                block = False  # only force-wait the oldest
+            self._deferred.pop(0)
+            self.arena.release_below(g)
 
     def _ready_hi(self) -> int:
         """Global clip frontier that is dispatchable: frames decoded AND
@@ -453,7 +484,7 @@ class PackedAssembler:
                   f"wavput={_t2-_t1:.2f}s "
                   f"call={time.perf_counter()-_t2:.2f}s", flush=True)
         cur = plan["cur"]
-        return (cur, [(0, cur, fut)]), plan["demux"]
+        return (cur, [(0, cur, fut)]), plan["demux"], chunk
 
     def _dispatch_fallback(self, vp: _VideoPlan):
         """Per-video device-audio route plan for >MAX_PHASES videos — the
@@ -583,6 +614,13 @@ def packed_sweep_stream(cfg, variables, dataset=None, bucket=None,
                         yield vp.vid_idx, vp.video_id, vp.out
 
     plans: list = []  # prepared buckets awaiting the RPC stage
+    # On a multi-core host the RPC stage overlaps decode (the decode child
+    # owns its own core), so upload inline and keep the decode/H2D/compute
+    # pipeline; buffer-until-quiesce exists for 1-core hosts where the
+    # tunnel client's spin-wait starves decode AND stretches each put
+    # 10-30x (ADVICE r4: the deferral must not cost multi-core hosts
+    # their overlap)
+    inline_upload = (os.cpu_count() or 1) >= 2
 
     def _on_slice(video_nr, a, b, g_lo, wav, dsec):
         st["decode_seconds"] += dsec
@@ -595,6 +633,8 @@ def packed_sweep_stream(cfg, variables, dataset=None, bucket=None,
         plans.extend(asm.drain())
         with st_lock:
             st["sweep_seconds"] += time.perf_counter() - td
+        if inline_upload:
+            _upload_plans()
 
     def _upload_plans():
         """RPC stage: H2D + dispatch every buffered plan (releases their
@@ -633,11 +673,23 @@ def packed_sweep_stream(cfg, variables, dataset=None, bucket=None,
         def _request(sl):
             v, a, b, g_lo, first = sl
             # arena pressure: the ring must hold every frame from the
-            # oldest un-uploaded plan to this slice's end — upload the
-            # buffered plans (releasing their rows) before it overflows
-            if plans and g_lo + (b - a) - arena._free_g > arena.cap:
+            # oldest un-uploaded plan to this slice's end. The slack term
+            # covers ring fragmentation — alloc's cursor wrap wastes up to
+            # one slice of ring space, and releases retain label_frame
+            # history rows — so the guard fires BEFORE alloc can overflow
+            # at the minimum arena size (ADVICE r4).
+            slack = (b - a) + asm.cfg.label_frame
+            if plans and g_lo + (b - a) - arena._free_g \
+                    > arena.cap - slack:
                 _upload_plans()
-            base = arena.alloc(g_lo, b - a)
+            asm.reap_releases()
+            try:
+                base = arena.alloc(g_lo, b - a)
+            except RuntimeError:
+                # rows may still be pinned by an in-flight H2D transfer:
+                # wait for the oldest, then retry once
+                asm.reap_releases(block=True)
+                base = arena.alloc(g_lo, b - a)
             if use_shm:
                 worker.request_slice(v, a, b, base,
                                      first and sweep.needs_audio)

@@ -65,7 +65,8 @@ def main(argv=None):
                         "the cross-video packed-bucket program "
                         "(sweep.py::fused_sweep_packed) on a synthetic "
                         "single-video bucket mirroring "
-                        "packed.PackedAssembler._dispatch_packed payloads")
+                        "packed.PackedAssembler._prepare_packed/"
+                        "_upload_packed payloads")
     p.add_argument("--trace_dir", default=TRACE_DIR)
     p.add_argument("--gflops-per-clip", type=float, default=7.24,
                    help="fallback analytic GFLOP/clip when the backend's "
