@@ -706,6 +706,20 @@ def measure(sections: list[str], use_pallas: bool, cpu_mode: bool,
     return out
 
 
+def _sync_state(state) -> None:
+    """REAL device sync: fetch one element of the newest params leaf.
+    ``block_until_ready`` silently no-ops through the axon tunnel (probe
+    2026-08-20: 5 queued bucket executions + block_until_ready returned in
+    <1 ms while the same work took 0.8 s via a fetch), so any wall-clock
+    that 'stops' on it measures ENQUEUE rate, not completion — the r4
+    train_e2e numbers were inflated this way. Device programs execute in
+    order, so fetching any output of the LAST dispatch waits for all."""
+    import jax
+
+    leaf = jax.tree_util.tree_leaves(state.params)[0]
+    np.asarray(leaf.ravel()[:1])
+
+
 def _train_e2e_rate(cfg, model, variables, wd,
                     device_front: bool, spd: int = 1) -> dict:
     """Loader-fed training throughput over the FrameStore fixture: real
@@ -853,7 +867,7 @@ def _train_e2e_rate(cfg, model, variables, wd,
     for w in range(2):
         state, _ = step(state, pull_group(),
                         jax.random.fold_in(rng, 100 + w), *step_args)
-        jax.tree_util.tree_leaves(state.params)[0].block_until_ready()
+        _sync_state(state)
 
     n_steps = TRAIN_E2E_STEPS_SPD if spd > 1 else TRAIN_E2E_STEPS
     wd.section("train_e2e measure", 600)
@@ -869,7 +883,7 @@ def _train_e2e_rate(cfg, model, variables, wd,
         state, _ = step(state, dev_batch,
                         jax.random.fold_in(rng, steps), *step_args)
         steps += spd
-    jax.tree_util.tree_leaves(state.params)[0].block_until_ready()
+    _sync_state(state)
     wall = time.perf_counter() - t0
     # stop the loader threads so the next variant starts clean
     prefetch.stop()

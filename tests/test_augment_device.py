@@ -115,3 +115,60 @@ def test_policy_device_runs():
     outs = [np.asarray(D.imagenet_policy_device(clip, jax.random.PRNGKey(k)))
             for k in range(6)]
     assert any(not np.array_equal(outs[0], o) for o in outs[1:])
+
+
+def test_fast_policy_matches_reference():
+    """The staged fast path (imagenet_policy_device_fast) must reproduce
+    the reference switch-based path: same key-split structure, same op
+    formulas, only the selection machinery differs. Table/geometric ops
+    must be bit-identical; the ImageEnhance float blends may flip floor()
+    by 1 LSB on a small fraction of pixels (XLA fuses the mul+add as an
+    FMA in one lowering and not the other — the same +-1 LSB class the
+    PIL goldens above already tolerate)."""
+    import jax
+    clip = RS.randint(0, 256, (6, 32, 32, 3)).astype(np.uint8)
+    for k in range(12):
+        key = jax.random.PRNGKey(k)
+        ref = np.asarray(D.imagenet_policy_device(clip, key))
+        fast = np.asarray(D.imagenet_policy_device_fast(clip, key))
+        diff = np.abs(fast.astype(int) - ref.astype(int))
+        assert diff.max() <= 1, f"key {k}: max diff {diff.max()}"
+        assert (diff > 0).mean() < 0.02, \
+            f"key {k}: {(diff > 0).mean():.3%} pixels differ"
+
+
+@pytest.mark.parametrize("op,mag", [
+    ("shearX", 0.2), ("shearX", -0.2), ("shearY", 0.15),
+    ("translateX", 0.3), ("translateX", -0.3), ("translateY", 0.2),
+    ("rotate", 20.0), ("rotate", -15.0), ("invert", 0.0),
+    ("posterize", 5.0), ("solarize", 85.33), ("brightness", 1.4),
+    ("brightness", 0.6), ("contrast", 1.5), ("autocontrast", 0.0),
+    ("equalize", 0.0), ("color", 1.7), ("sharpness", 0.4),
+])
+def test_slot_apply_per_op(op, mag):
+    """Every op of the staged fast path vs the reference op function.
+    Nearest/table ops are exact; bicubic + enhance blends may differ by
+    1 LSB (summation order / FMA fusion)."""
+    import jax.numpy as jnp
+    frames = RS.randint(0, 256, (3, 24, 24, 3)).astype(np.uint8)
+    ref = np.asarray(D.apply_op(frames, op, mag))
+    opid = np.full(3, D._OP_IDS[op], np.int32)
+    m = np.full(3, mag, np.float32)
+    fast = np.asarray(D._slot_apply(jnp.asarray(frames), jnp.asarray(opid),
+                                    jnp.asarray(m)))
+    diff = np.abs(fast.astype(int) - ref.astype(int))
+    tol = 1 if op in ("shearX", "shearY", "brightness", "contrast",
+                      "color", "sharpness") else 0
+    assert diff.max() <= tol, f"{op}: max diff {diff.max()}"
+    if tol:
+        assert (diff > 0).mean() < 0.05, f"{op}: {(diff>0).mean():.2%}"
+
+
+def test_slot_apply_identity():
+    """op id 0 must be an EXACT uint8 passthrough of all four stages."""
+    import jax.numpy as jnp
+    frames = RS.randint(0, 256, (4, 24, 24, 3)).astype(np.uint8)
+    out = np.asarray(D._slot_apply(jnp.asarray(frames),
+                                   jnp.zeros(4, jnp.int32),
+                                   jnp.zeros(4, jnp.float32)))
+    np.testing.assert_array_equal(out, frames)
