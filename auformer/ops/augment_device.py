@@ -381,54 +381,56 @@ def _cubic_w(t, a_coef=-0.5):
     return jnp.where(at <= 1, w1, jnp.where(at < 2, w2, 0.0))
 
 
-def _axis_resample(shift, bicubic_frame, axis_w):
-    """1D resample along one axis via banded-weight MXU matmuls.
+def _axis_resample_apply(img_f, shift, bicubic_frame, axis_w,
+                         einsum_spec):
+    """1D resample along one axis as a sum of 4 fused one-hot einsums.
 
-    shift: (T, A, B) f32 source offset ``s`` so that
-    out[.., b, ..] samples in[.., s(b), ..] along the resampled axis (A =
-    the other spatial axis, B = the resampled axis length axis_w);
-    bicubic_frame: (T,) bool — PIL uses bicubic for shear, nearest for
-    translate. Out-of-range taps blend toward FILL exactly like
-    ``_affine_sample``. Returns (T, A, B) x channels in the (resampled-
-    last) layout the caller einsums with.
+    img_f: (T, H, W, C) f32; shift: (T, A, B) f32 source offset so that
+    out[.., b, ..] samples in[.., s(b), ..] along the resampled axis
+    (length axis_w); bicubic_frame: (T,) bool — PIL uses bicubic for
+    shear, nearest for translate. Out-of-range taps blend toward FILL
+    exactly like ``_affine_sample``.
 
-    The weight tensor (T, A, B, axis_w) contracts with the image on the
-    MXU — ~1.4 GMAC per 1024-frame slot vs the serialized per-element
-    gathers XLA emits for per-frame-coefficient fancy indexing (3.4 s
-    measured; the matmul form is below timing noise)."""
-    u = jnp.arange(axis_w, dtype=jnp.float32)
+    Each tap contributes ``w_i * one_hot(tap_i) @ img``: XLA fuses the
+    one-hot construction into the MXU contraction, so no (T, A, B,
+    axis_w) weight tensor is ever materialized (the materialized form
+    costs ~40 GB of HBM traffic per axis pass — 244 ms/slot measured;
+    the fused form is bandwidth-light)."""
+    bc = bicubic_frame[:, None, None]
 
-    # nearest weights: one-hot at floor(s), FILL when outside
-    ix = jnp.floor(shift)
-    w_near = (u == jnp.clip(ix, 0, axis_w - 1)[..., None]).astype(
-        jnp.float32)
-    inside = (ix >= 0) & (ix <= axis_w - 1)
-    w_near = w_near * inside[..., None]
-    fill_near = 1.0 - inside.astype(jnp.float32)
+    # nearest: one tap at floor(s), FILL outside
+    ixn = jnp.floor(shift)
+    inside = (ixn >= 0) & (ixn <= axis_w - 1)
 
-    # 1D bicubic (the 2D kernel collapses: the orthogonal offset is an
-    # exact integer for shear, so its cubic weights are [0, 1, 0, 0])
+    # bicubic: 4 taps (the 2D kernel collapses: the orthogonal offset is
+    # an exact integer for shear, so its cubic weights are [0, 1, 0, 0])
     s = shift - 0.5
     x0 = jnp.floor(s)
     tx = s - x0
-    w_cub = jnp.zeros(shift.shape + (axis_w,), jnp.float32)
+
+    out = None
     wsum_all = jnp.zeros(shift.shape, jnp.float32)
     wsum_in = jnp.zeros(shift.shape, jnp.float32)
     for i in range(-1, 3):
-        tap = x0 + i
-        wgt = _cubic_w(tx - i)
-        tin = (tap >= 0) & (tap <= axis_w - 1)
-        w_cub = w_cub + (u == jnp.clip(tap, 0, axis_w - 1)[..., None]) \
-            * (wgt * tin)[..., None]
-        wsum_all = wsum_all + wgt
-        wsum_in = wsum_in + wgt * tin
-    # center-outside frames fill entirely (matches _affine_sample)
-    center_in = (s >= -1) & (s <= axis_w)
-    bc = bicubic_frame[:, None, None]
-    weights = jnp.where(bc[..., None], w_cub, w_near)
-    return weights, jnp.where(bc, (wsum_all - wsum_in), fill_near), \
-        jnp.where(bc, wsum_all, jnp.ones_like(wsum_all)), \
-        jnp.where(bc, center_in, inside.astype(bool))
+        cub_tap = x0 + i
+        cub_w = _cubic_w(tx - i)
+        cub_in = (cub_tap >= 0) & (cub_tap <= axis_w - 1)
+        wsum_all = wsum_all + cub_w
+        wsum_in = wsum_in + cub_w * cub_in
+        tap = jnp.where(bc, cub_tap, ixn)
+        wgt = jnp.where(bc, cub_w * cub_in,
+                        inside.astype(jnp.float32) if i == -1 else 0.0)
+        oh = jax.nn.one_hot(jnp.clip(tap, 0, axis_w - 1).astype(jnp.int32),
+                            axis_w, dtype=jnp.float32)
+        term = wgt[..., None] * jnp.einsum(einsum_spec, oh, img_f)
+        out = term if out is None else out + term
+
+    fill_w = jnp.where(bc, wsum_all - wsum_in,
+                       1.0 - inside.astype(jnp.float32))
+    wall = jnp.where(bc, wsum_all, jnp.ones_like(wsum_all))
+    center_in = jnp.where(bc, (s >= -1) & (s <= axis_w), inside)
+    out = (out + fill_w[..., None] * FILL) / wall[..., None]
+    return jnp.where(center_in[..., None], out, FILL)
 
 
 def _geo_stage(x, op, m):
@@ -456,21 +458,15 @@ def _geo_stage(x, op, m):
     c_h = jnp.where(op == 3, m * w, 0.0)
     sx = (xs[None, None, :] + 0.5) + b_h[:, None, None] \
         * (ys[None, :, None] + 0.5) + c_h[:, None, None]
-    wh, fillw_h, wall_h, cin_h = _axis_resample(sx, bicubic_f, w)
-    out_h = jnp.einsum('thxu,thuc->thxc', wh, xf)
-    out_h = (out_h + fillw_h[..., None] * FILL) / wall_h[..., None]
-    out_h = jnp.where(cin_h[..., None], out_h, FILL)
+    out_h = _axis_resample_apply(xf, sx, bicubic_f, w, 'thxu,thuc->thxc')
 
     # vertical: sy = d*(x+0.5) + y + f  (d = shear mag, f = translate)
     d_v = jnp.where(op == 2, m, 0.0)
     f_v = jnp.where(op == 4, m * h, 0.0)
     sy = d_v[:, None, None] * (xs[None, None, :] + 0.5) \
         + (ys[None, :, None] + 0.5) + f_v[:, None, None]
-    # resample along H: weights indexed (T, H_out, W, H_in)
-    wv, fillw_v, wall_v, cin_v = _axis_resample(sy, bicubic_v, h)
-    out_v = jnp.einsum('thxr,trxc->thxc', wv, xf)
-    out_v = (out_v + fillw_v[..., None] * FILL) / wall_v[..., None]
-    out_v = jnp.where(cin_v[..., None], out_v, FILL)
+    # resample along H: one-hot weights indexed (T, H_out, W, H_in)
+    out_v = _axis_resample_apply(xf, sy, bicubic_v, h, 'thxr,trxc->thxc')
 
     # rotate: nearest 2D gather via flattened linear indices
     ang = jnp.deg2rad(m)
