@@ -309,12 +309,18 @@ def audio_frontend(audio: jax.Array,
     if feature_len is not None:
         cols = jnp.arange(out_frames)[None, None, :]
         if left_aligned:
-            # move the first feature_len frames to the right edge
-            src = cols - (out_frames - feature_len[:, None, None])
-            gathered = jnp.take_along_axis(
-                mel, jnp.broadcast_to(jnp.clip(src, 0, out_frames - 1),
-                                      mel.shape), axis=-1)
-            mel = jnp.where(src >= 0, gathered, 0.0)
+            # move the first feature_len frames to the right edge: a
+            # per-row uniform shift, expressed as a one-hot einsum so the
+            # MXU does it (XLA fuses the one-hot into the contraction;
+            # the take_along_axis gather this replaces cost ~52 ms/step
+            # inside the train program — round-5 trace). Exact: one
+            # weight of 1.0 per output element.
+            src = (jnp.arange(out_frames)[None, :]
+                   - (out_frames - feature_len)[:, None])  # (B, T_out)
+            oh = jax.nn.one_hot(jnp.clip(src, 0, out_frames - 1),
+                                out_frames, dtype=mel.dtype)  # (B, To, Ti)
+            shifted = jnp.einsum('bot,bmt->bmo', oh, mel)
+            mel = jnp.where(src[:, None, :] >= 0, shifted, 0.0)
         else:
             valid = cols >= (out_frames - feature_len[:, None, None])
             mel = jnp.where(valid, mel, 0.0)

@@ -56,7 +56,7 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--bucket", type=int, default=512)
     p.add_argument("--iters", type=int, default=8)
-    p.add_argument("--mode", choices=["window", "phase", "packed"],
+    p.add_argument("--mode", choices=["window", "phase", "packed", "train"],
                    default="window",
                    help="window: per-window mel (strict per-window "
                         "semantics); phase: the EXACT shared-spectrogram "
@@ -66,7 +66,9 @@ def main(argv=None):
                         "(sweep.py::fused_sweep_packed) on a synthetic "
                         "single-video bucket mirroring "
                         "packed.PackedAssembler._prepare_packed/"
-                        "_upload_packed payloads")
+                        "_upload_packed payloads; train: the device-front "
+                        "B=64 train step (device AutoAugment + arena mel "
+                        "+ fwd/bwd — what bench train_e2e dispatches)")
     p.add_argument("--trace_dir", default=TRACE_DIR)
     p.add_argument("--gflops-per-clip", type=float, default=7.24,
                    help="fallback analytic GFLOP/clip when the backend's "
@@ -110,7 +112,49 @@ def main(argv=None):
 
     # sw.v enters as an ARGUMENT — closing over the weights would embed
     # them as HLO constants (see auformer/sweep.py)
-    if args.mode == "packed":
+    if args.mode == "train":
+        import dataclasses as _dc
+
+        from auformer.nn import loss_suite
+        from auformer.parallel import create_train_state, make_train_step
+        b = 64 if on_tpu else 4
+        bucket = b  # clips per traced call, for the rate prints
+        tcfg = _dc.replace(cfg, batch_size=b, device_augment=True,
+                           device_audio=True)
+        suite = loss_suite(model)
+        state = create_train_state(tcfg, model, variables)
+        step = make_train_step(tcfg, model, suite, mesh=None, donate=False,
+                               with_arena=True)
+        u = 256  # dedup pool size (~what locality-run batches produce)
+        pool = jax.device_put(rs.randint(
+            0, 256, (u, cfg.image_size, cfg.image_size, 3)).astype(np.uint8))
+        clip_idx = jax.device_put(
+            rs.randint(0, u, (b, cfg.n_frames)).astype(np.int32))
+        slen = cfg.sample_len_frames
+        arena_dev = jax.device_put(
+            (rs.randn(4 * slen + slen) * 0.05).astype(np.float32))
+        ofs = jax.device_put(
+            rs.randint(0, 4 * slen, (b,)).astype(np.int32))
+        alen = jax.device_put(np.full((b,), slen, np.int32))
+        au = jax.device_put(rs.randint(0, 2, (b, 12)).astype(np.float32))
+        ex = jax.device_put(rs.randint(0, 7, (b, 1)).astype(np.int32))
+        va = jax.device_put(
+            rs.uniform(-1, 1, (b, 2)).astype(np.float32))
+        rngk = jax.random.PRNGKey(0)
+
+        @jax.jit
+        def one(state, pool, clip_idx, ofs, alen, au, ex, va, arena):
+            # device half of the dedup input path + the full train step:
+            # exactly the per-batch device work bench train_e2e dispatches
+            batch = {"clip": jnp.take(pool, clip_idx, axis=0),
+                     "audio_ofs": ofs, "audio_len": alen,
+                     "AU": au, "EX": ex, "VA": va}
+            _, m = step(state, batch, rngk, arena)
+            return m["loss"]
+
+        args_tuple = (state, pool, clip_idx, ofs, alen, au, ex, va,
+                      arena_dev)
+    elif args.mode == "packed":
         from auformer.packed import (MAX_PHASES, PACK_PRE, PACK_TAIL,
                                      WAV_QUANTUM)
         from auformer.ops.phase_mel import HOP_LENGTH
@@ -207,7 +251,9 @@ def main(argv=None):
             break
         except Exception:
             continue
-    if flops_per_call is None and args.gflops_per_clip:
+    if flops_per_call is None and args.gflops_per_clip \
+            and args.mode != "train":
+        # the per-clip fallback is calibrated for the SWEEP programs only
         flops_per_call = args.gflops_per_clip * 1e9 * bucket
         print(f"NOTE: XLA cost analysis unavailable; using "
               f"--gflops-per-clip={args.gflops_per_clip} "
