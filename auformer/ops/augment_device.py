@@ -481,22 +481,16 @@ def _geo_stage(x, op, m):
     ixr = jnp.floor(sxr).astype(jnp.int32)
     iyr = jnp.floor(syr).astype(jnp.int32)
     rin = (ixr >= 0) & (ixr < w) & (iyr >= 0) & (iyr < h)
-    lin = jnp.clip(iyr, 0, h - 1) * w + jnp.clip(ixr, 0, w - 1)
-    # RGB packed into one int32 per pixel: a scalar element gather lowers
-    # ~5x faster than gathering (1, 3)-byte rows on v5e (54 vs 271 ms at
-    # 1024 frames), and the pack/unpack shifts fuse away
-    xi = x.astype(jnp.int32)
-    packed = (xi[..., 0] << 16) | (xi[..., 1] << 8) | xi[..., 2]
-    # optimization_barrier: keep the pack/unpack shifts OUT of the gather
-    # fusion — XLA's fused form runs the gather ~2.5x slower (149 vs 50
-    # ms/step inside the train program; 112 vs 44 standalone)
-    packed = jax.lax.optimization_barrier(packed.reshape(t, h * w))
-    lin_b = jax.lax.optimization_barrier(lin.reshape(t, h * w))
-    g = jnp.take_along_axis(packed, lin_b, axis=1,
-                            mode="promise_in_bounds")
-    g = jax.lax.optimization_barrier(g).reshape(t, h, w)
-    rot = jnp.stack([(g >> 16) & 255, (g >> 8) & 255, g & 255],
-                    -1).astype(jnp.float32)
+    # 2D nearest gather as a rank-1 double one-hot contraction:
+    # out[y,x] = sum_r sum_u [r==iy][u==ix] img[r,u]. XLA schedules the
+    # chained einsum on the MXU — EXACT (one unit weight per output,
+    # uint8 values are exact in bf16) and 2.7x faster than the best
+    # element-gather form (59 vs 161 ms device-side at 1024 frames;
+    # XLA's TPU element gather runs ~86 M elem/s regardless of layout)
+    ohy = jax.nn.one_hot(jnp.clip(iyr, 0, h - 1), h, dtype=jnp.bfloat16)
+    ohx = jax.nn.one_hot(jnp.clip(ixr, 0, w - 1), w, dtype=jnp.bfloat16)
+    rot = jnp.einsum('tyxr,tyxu,truc->tyxc', ohy, ohx,
+                     x.astype(jnp.bfloat16)).astype(jnp.float32)
     rot = jnp.where(rin[..., None], rot, FILL)
 
     out = jnp.where(is_rot[:, None, None, None], rot,
